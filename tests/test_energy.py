@@ -1,0 +1,195 @@
+"""Energy-functional tests: closed forms, estimator agreement, golden parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference
+from vae_latent_geometry_tpu.geometry import energy as E
+from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+from vae_latent_geometry_tpu.geometry.spline import (
+    design_matrix,
+    design_matrix_derivative,
+    eval_spline_design,
+    eval_spline_velocity,
+)
+
+
+def _linear_decoder(W, bias):
+    """Single-layer 'MLP' params implementing f(z) = z W + b."""
+    return {"layers": [{"w": jnp.asarray(W), "b": jnp.asarray(bias)}]}
+
+
+@pytest.fixture(scope="module")
+def straight_lines(rng):
+    B, D = 5, 2
+    a = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    T = 200
+    t = jnp.linspace(0.0, 1.0, T)
+    gamma = (1 - t[:, None, None]) * a[None] + t[:, None, None] * b[None]
+    return a, b, gamma
+
+
+def test_linear_decoder_closed_form(straight_lines, rng):
+    """Straight line through a linear decoder: E = ||W(b-a)||^2 / (T-1)."""
+    a, b, gamma = straight_lines
+    T = gamma.shape[0]
+    W = rng.normal(size=(2, 7)).astype(np.float32)
+    dec = _linear_decoder(W, np.zeros(7, np.float32))
+    e = E.energy_single(dec, gamma)
+    expected = np.sum((np.asarray(b - a) @ W) ** 2, axis=-1) / (T - 1)
+    np.testing.assert_allclose(np.asarray(e), expected, rtol=1e-4)
+
+
+def test_expected_equals_mc_mean(rng):
+    """energy_expected is the exact expectation of the MC estimator: the mean
+    of many MC draws must converge to it."""
+    basis, _ = nullspace_basis(4)
+    B, D, T, M_dec = 3, 2, 64, 4
+    t = jnp.linspace(0.0, 1.0, T)
+    phi = design_matrix(t, jnp.asarray(basis), 4)
+    omega = jnp.asarray(rng.normal(size=(B, 5, D)) * 0.2, jnp.float32)
+    a = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    gamma = eval_spline_design(omega, a, b, phi, t)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), M_dec)
+    decs = [
+        {"layers": [
+            {"w": jax.random.normal(k, (D, 16)) * 0.5, "b": jnp.zeros(16)},
+            {"w": jax.random.normal(jax.random.fold_in(k, 1), (16, 7)) * 0.5,
+             "b": jnp.zeros(7)},
+        ]}
+        for k in keys
+    ]
+    from vae_latent_geometry_tpu.models.evae import stack_decoders
+
+    decoders = stack_decoders(decs)
+
+    exp = np.asarray(E.energy_expected(decoders, gamma))
+    draws = []
+    for i in range(200):
+        draws.append(np.asarray(
+            E.energy_mc(decoders, gamma, jax.random.PRNGKey(100 + i), mc_samples=1)
+        ))
+    mc_mean = np.mean(draws, axis=0)
+    np.testing.assert_allclose(mc_mean, exp, rtol=0.05)
+
+
+def test_mc_single_member_equals_single(rng):
+    """With an ensemble of one decoder, MC and single energies coincide."""
+    from vae_latent_geometry_tpu.models.evae import stack_decoders
+    from vae_latent_geometry_tpu.models import nets
+
+    dec = nets.decoder_init(jax.random.PRNGKey(3), 2, 11, (8,))
+    decoders = stack_decoders([dec])
+    gamma = jnp.asarray(rng.normal(size=(32, 4, 2)), jnp.float32)
+    e_single = E.energy_single(dec, gamma)
+    e_mc = E.energy_mc(decoders, gamma, jax.random.PRNGKey(0), mc_samples=2)
+    e_exp = E.energy_expected(decoders, gamma)
+    np.testing.assert_allclose(np.asarray(e_mc), np.asarray(e_single), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_exp), np.asarray(e_single), rtol=1e-5)
+
+
+def test_jvp_converges_to_discrete(rng):
+    """JVP quadrature and discrete first differences agree as T grows."""
+    from vae_latent_geometry_tpu.models import nets
+
+    basis, _ = nullspace_basis(4)
+    dec = nets.decoder_init(jax.random.PRNGKey(5), 2, 10, (32, 32))
+    omega = jnp.asarray(rng.normal(size=(2, 5, 2)) * 0.3, jnp.float32)
+    a = jnp.asarray(rng.normal(size=(2, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(2, 2)), jnp.float32)
+
+    def both(T):
+        t = jnp.linspace(0.0, 1.0, T)
+        phi = design_matrix(t, jnp.asarray(basis), 4)
+        dphi = design_matrix_derivative(t, jnp.asarray(basis), 4)
+        gamma = eval_spline_design(omega, a, b, phi, t)
+        vel = eval_spline_velocity(omega, a, b, dphi)
+        return (np.asarray(E.energy_single(dec, gamma)),
+                np.asarray(E.energy_jvp(dec, gamma, vel)))
+
+    d1, j1 = both(500)
+    d2, j2 = both(4000)
+    # discrete and JVP energies scale ~1/(T-1); compare T*(E) limits
+    np.testing.assert_allclose(499 * d1, 3999 * d2, rtol=2e-2)
+    np.testing.assert_allclose(3999 * j2, 3999 * d2, rtol=2e-2)
+    np.testing.assert_allclose(499 * j1, 3999 * j2, rtol=2e-2)
+
+
+@requires_reference
+def test_golden_single_decoder_lengths():
+    """Recompute geodesic lengths of the reference's optimized single-decoder
+    splines with the imported decoder; must match stored values to 1e-4 rel
+    (reference blob written at src/single_decoder/optimize_energy_batched.py:106-119)."""
+    from vae_latent_geometry_tpu.models.torch_import import (
+        load_single_vae_checkpoint,
+        load_spline_blob,
+    )
+
+    vae = load_single_vae_checkpoint(
+        "/root/reference/src/artifacts/vae_best_seed12.pth"
+    )
+    blob = load_spline_blob(
+        "/root/reference/src/artifacts/spline_batch_optimized_batched_seed12.pt"
+    )
+    data = blob["spline_data"]
+    assert len(data) > 0
+    basis = jnp.asarray(data[0]["basis"])
+    n_poly = int(data[0]["n_poly"])
+    t = jnp.linspace(0.0, 1.0, 2000)
+    phi = design_matrix(t, basis, n_poly)
+
+    a = jnp.stack([jnp.asarray(d["a"]) for d in data])
+    b = jnp.stack([jnp.asarray(d["b"]) for d in data])
+    omega = jnp.stack([jnp.asarray(d["omega_optimized"]) for d in data])
+    stored = np.array([d["length_geodesic"] for d in data])
+
+    gamma = eval_spline_design(omega, a, b, phi, t)
+
+    # heteroscedastic decoder: length uses the mean head only
+    from vae_latent_geometry_tpu.models import nets
+
+    def mean_decode(z):
+        m, _ = nets.decoder_apply_full(vae["decoder"], z)
+        return m
+
+    x = mean_decode(gamma)
+    lengths = np.asarray(
+        jnp.sum(jnp.linalg.norm(x[1:] - x[:-1], axis=2), axis=0)
+    )
+    np.testing.assert_allclose(lengths, stored, rtol=1e-4)
+
+
+@requires_reference
+def test_golden_ensemble_energy_statistical():
+    """Ensemble blob: stored geodesic_length = sqrt(final MC energy draw)
+    (src/optimize.py:168).  The draw is random, but its expectation is
+    energy_expected of the stored optimized splines — check within a few %."""
+    from vae_latent_geometry_tpu.models.torch_import import (
+        load_evae_checkpoint,
+        load_spline_blob,
+    )
+
+    params = load_evae_checkpoint("/root/reference/experiment/model_seed12.pt")
+    blob = load_spline_blob(
+        "/root/reference/experiment/splines_opt_model_seed12/"
+        "spline_batch_opt_euclidean_10.pt"
+    )
+    data = blob["spline_data"]
+    basis = jnp.asarray(data[0]["basis"])
+    t = jnp.linspace(0.0, 1.0, 2000)
+    phi = design_matrix(t, basis, 4)
+    a = jnp.stack([jnp.asarray(d["a"]) for d in data])
+    b = jnp.stack([jnp.asarray(d["b"]) for d in data])
+    omega = jnp.stack([jnp.asarray(d["omega_optimized"]) for d in data])
+    stored = np.array([d["geodesic_length"] for d in data])
+
+    gamma = eval_spline_design(omega, a, b, phi, t)
+    exp_energy = np.asarray(E.energy_expected(params.decoders, gamma))
+    lengths = np.sqrt(exp_energy)
+    # statistical tolerance: one MC draw of a 1999-segment sum
+    np.testing.assert_allclose(lengths, stored, rtol=0.05)

@@ -1,0 +1,127 @@
+"""Typed configuration shared across all pipeline stages.
+
+The reference scatters its configuration over nine argparse CLIs, two YAML
+files and many hard-coded duplicated constants (latent_dim=2 / input_dim=50 at
+``src/optimize.py:95-96``, ``src/eval.py:75-76``; T=2000; endpoint weight 1000;
+grid 200; k=8; n_poly=4; M=2; decoder sigma=5 at ``src/train.py:46``).  Here a
+single set of dataclasses carries the same defaults end to end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Ensemble-VAE architecture (reference ``src/train.py:16-85``)."""
+
+    input_dim: int = 50
+    latent_dim: int = 2
+    num_decoders: int = 10
+    encoder_hidden: Sequence[int] = (256, 128)
+    decoder_hidden: Sequence[int] = (128, 128)
+    decoder_sigma: float = 5.0  # fixed observation noise, src/train.py:46
+    beta: float = 1.0
+    # Legacy single-decoder family (reference src/single_decoder/vae.py):
+    # heteroscedastic decoder + clamped log-stds.
+    heteroscedastic: bool = False
+    encoder_logstd_clamp: tuple[float, float] = (-4.0, 2.0)
+    decoder_logstd_clamp: tuple[float, float] = (-2.0, 2.0)
+
+
+@dataclass(frozen=True)
+class SplineConfig:
+    """Fixed-endpoint cubic-spline curve family
+    (reference ``src/single_decoder/optimize_energy.py:25-102``)."""
+
+    n_poly: int = 4
+    degree: int = 3  # cubic segments; basis columns K = n_poly + 1
+
+    @property
+    def n_coeff(self) -> int:
+        return (self.degree + 1) * self.n_poly
+
+
+@dataclass(frozen=True)
+class EnergyConfig:
+    """Curve-energy functional (reference ``src/optimize.py:38-75``)."""
+
+    num_t: int = 2000            # quadrature samples along each curve
+    mc_samples: int = 2          # M independent decoder-pair draws
+    mode: str = "mc"             # "single" | "mc" | "expected" | "jvp"
+    endpoint_weight: float = 1000.0
+
+
+@dataclass(frozen=True)
+class GeodesicConfig:
+    """Batched geodesic optimization (reference ``src/optimize.py:143-186``)."""
+
+    steps: int = 1000
+    lr: float = 1e-3
+    batch_size: int = 200
+    energy: EnergyConfig = field(default_factory=EnergyConfig)
+    spline: SplineConfig = field(default_factory=SplineConfig)
+    # Single-spline early stopping (reference optimize_energy.py:119-165).
+    patience: int = 500
+    delta: float = 1e-6
+
+
+@dataclass(frozen=True)
+class InitConfig:
+    """Dijkstra spline initialization (reference ``src/init_splines_ensemble.py``)."""
+
+    grid_points_per_axis: int = 200
+    grid_margin: float = 0.1
+    knn: int = 8
+    use_entropy: bool = False
+    spline: SplineConfig = field(default_factory=SplineConfig)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """VAE / EVAE training (reference ``src/train.py:91-179``,
+    ``src/single_decoder/vae_train.py``)."""
+
+    epochs: int = 200
+    batch_size: int = 64
+    lr: float = 1e-3
+    seed: int = 42
+    val_ratio: float = 0.1
+    # Single-VAE extras (src/single_decoder/vae_train.py:63,77)
+    beta_warmup_epochs: int = 0      # 0 = constant beta; 30 in legacy trainer
+    lr_step_size: int = 0            # 0 = constant lr; StepLR(200, 0.5) in legacy
+    lr_gamma: float = 0.5
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def to_json(cfg: Any) -> str:
+    return json.dumps(to_dict(cfg), indent=2, default=list)
+
+
+def _merge(cls, base: Any, overrides: dict):
+    known = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in overrides.items():
+        if k not in known:
+            raise KeyError(f"Unknown config field {k!r} for {cls.__name__}")
+        cur = getattr(base, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            kwargs[k] = _merge(type(cur), cur, v)
+        else:
+            kwargs[k] = v
+    return dataclasses.replace(base, **kwargs)
+
+
+def from_dict(cls, overrides: Optional[dict] = None):
+    """Build a config of type ``cls`` from defaults plus nested overrides."""
+    base = cls()
+    if not overrides:
+        return base
+    return _merge(cls, base, overrides)

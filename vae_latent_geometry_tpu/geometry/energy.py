@@ -1,0 +1,161 @@
+"""Curve-energy functionals under the decoder pullback metric.
+
+Four estimators of E(gamma) for curves decoded through one or many decoders:
+
+- ``energy_single``: discrete first-difference energy through one decoder,
+  sum_i ||f(g_{i+1}) - f(g_i)||^2  (reference
+  ``src/single_decoder/optimize_energy_batched.py:51-57``).
+- ``energy_mc``: the reference's Monte-Carlo ensemble estimator — decode the
+  curve with all M_dec decoders, then for each of M samples draw independent
+  decoder indices d1, d2 per (segment, spline) and average
+  sum_i ||f_{d2}(g_{i+1}) - f_{d1}(g_i)||^2  (``src/optimize.py:38-75``).
+- ``energy_expected``: the *exact expectation* of the MC estimator over the
+  uniform decoder-pair draw, in closed form:
+     E = sum_i [ mean_d ||x_{d,i+1}||^2 + mean_d ||x_{d,i}||^2
+                 - 2 <xbar_{i+1}, xbar_i> ]
+  Deterministic, smoother, and O(M_dec) instead of O(M * gathers) — the
+  TPU-native production path (MC mode kept for reference parity).
+- ``energy_jvp``: quadrature of the exact Riemannian energy
+  ||J_f(g(t)) g'(t)||^2 via decoder JVPs (the done-right version of the
+  reference's dead exact-pullback code, ``src/old_/jacobian_smgs.py:1-30``),
+  scaled by dt^2 so it converges to the discrete estimators as T grows.
+
+All functions take already-evaluated curve points ``gamma`` of shape (T, B, D)
+and stacked decoder params, and return per-spline energies (B,).  Decoders are
+rematerialized (``jax.checkpoint``) in the ensemble paths so the backward pass
+never stores the (M_dec, T, B, hidden) activations.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vae_latent_geometry_tpu.models import nets
+from vae_latent_geometry_tpu.models.evae import decode_all
+
+
+def _decode_mean(decoder_params, gamma):
+    """(T, B, D) -> (T, B, X) through a single decoder mean head."""
+    return nets.decoder_apply(decoder_params, gamma)
+
+
+def energy_single(decoder_params, gamma):
+    """Discrete energy through one decoder.  gamma: (T, B, D) -> (B,)."""
+    x = _decode_mean(decoder_params, gamma)
+    diffs = x[1:] - x[:-1]
+    return jnp.sum(diffs * diffs, axis=(0, 2))
+
+
+def geodesic_lengths(decoder_params, gamma):
+    """Data-space curve length sum_i ||f(g_{i+1}) - f(g_i)|| -> (B,)
+    (reference ``optimize_energy_batched.py:42-49``)."""
+    x = _decode_mean(decoder_params, gamma)
+    diffs = x[1:] - x[:-1]
+    return jnp.sum(jnp.linalg.norm(diffs, axis=2), axis=0)
+
+
+def arc_lengths(gamma):
+    """Latent-space curve length (reference ``optimize_energy.py:167-172``)."""
+    diffs = gamma[1:] - gamma[:-1]
+    return jnp.sum(jnp.linalg.norm(diffs, axis=2), axis=0)
+
+
+def _decode_ensemble(decoders, gamma):
+    """(T, B, D) -> (M_dec, T, B, X), rematerialized under autodiff."""
+    return jax.checkpoint(lambda g: decode_all(decoders, g))(gamma)
+
+
+def energy_mc(decoders, gamma, key, mc_samples: int = 2):
+    """Reference MC ensemble estimator (``src/optimize.py:38-75``).
+
+    Per MC sample, d1/d2 ~ U[0, M_dec) independently per (segment, spline);
+    segment term ||x_{d2, i+1} - x_{d1, i}||^2.  Decoder means only.
+    Returns per-spline energies (B,).
+    """
+    decoded = _decode_ensemble(decoders, gamma)        # (M_dec, T, B, X)
+    m_dec, T, B, X = decoded.shape
+    x_lo = decoded[:, :-1]                             # (M_dec, T-1, B, X)
+    x_hi = decoded[:, 1:]
+
+    def one_sample(k):
+        k1, k2 = jax.random.split(k)
+        d1 = jax.random.randint(k1, (T - 1, B), 0, m_dec)
+        d2 = jax.random.randint(k2, (T - 1, B), 0, m_dec)
+        # One-hot contraction instead of gather: maps onto the VPU cleanly and
+        # keeps everything dense/static-shaped.
+        oh1 = jax.nn.one_hot(d1, m_dec, dtype=decoded.dtype)  # (T-1, B, M)
+        oh2 = jax.nn.one_hot(d2, m_dec, dtype=decoded.dtype)
+        x1 = jnp.einsum("tbm,mtbx->tbx", oh1, x_lo)
+        x2 = jnp.einsum("tbm,mtbx->tbx", oh2, x_hi)
+        d = x2 - x1
+        return jnp.sum(d * d, axis=(0, 2))             # (B,)
+
+    keys = jax.random.split(key, mc_samples)
+    energies = jax.vmap(one_sample)(keys)              # (M, B)
+    return jnp.mean(energies, axis=0)
+
+
+def energy_expected(decoders, gamma):
+    """Closed-form expectation of :func:`energy_mc` over decoder draws.
+
+    E_{d1,d2} ||x_{d2,i+1} - x_{d1,i}||^2
+      = mean_d ||x_{d,i+1}||^2 + mean_d ||x_{d,i}||^2 - 2 <xbar_{i+1}, xbar_i>.
+    """
+    decoded = _decode_ensemble(decoders, gamma)        # (M, T, B, X)
+    sq = jnp.mean(jnp.sum(decoded * decoded, axis=-1), axis=0)   # (T, B)
+    xbar = jnp.mean(decoded, axis=0)                   # (T, B, X)
+    cross = jnp.sum(xbar[1:] * xbar[:-1], axis=-1)     # (T-1, B)
+    return jnp.sum(sq[1:] + sq[:-1] - 2.0 * cross, axis=0)
+
+
+def energy_jvp(decoder_params, gamma, gamma_dot):
+    """Quadrature JVP energy through one decoder.
+
+    sum_i ||J_f(g_i) g'(g_i)||^2 * dt^2  with dt = 1/(T-1), matching the
+    magnitude of the discrete estimators as T -> infinity.
+    gamma, gamma_dot: (T, B, D) -> (B,).
+    """
+    T = gamma.shape[0]
+    dt = 1.0 / (T - 1)
+
+    def jvp_at(g, gdot):
+        _, tangent = jax.jvp(lambda z: nets.decoder_apply(decoder_params, z),
+                             (g,), (gdot,))
+        return tangent
+
+    tangents = jvp_at(gamma, gamma_dot)                # (T, B, X)
+    sq = jnp.sum(tangents * tangents, axis=-1)         # (T, B)
+    # Trapezoid quadrature of the Riemannian energy integral, then one more
+    # dt to land in discrete-estimator units:  E_disc ~ dt^2 sum ||J gdot||^2
+    # ~ dt * Int ||J gdot||^2 dt.  (Riemannian energy = result * (T-1).)
+    w = jnp.ones((T,), gamma.dtype).at[0].set(0.5).at[-1].set(0.5)
+    return jnp.sum(sq * w[:, None], axis=0) * dt * dt
+
+
+def energy_jvp_ensemble(decoders, gamma, gamma_dot):
+    """Expected ensemble energy in the T->inf limit, split into a JVP
+    quadrature term (mean over decoders) and a decoder-disagreement term.
+
+    From the expansion of :func:`energy_expected` per segment:
+        mean_d ||x_{d,i+1} - xbar_{i+1}||^2 + mean_d ||x_{d,i} - xbar_i||^2
+        + ||xbar_{i+1} - xbar_i||^2
+    the last term -> JVP quadrature of the mean decoder, the first two are the
+    O(1) ensemble variance that does not vanish with T.
+    """
+    decoded = _decode_ensemble(decoders, gamma)        # (M, T, B, X)
+    xbar = jnp.mean(decoded, axis=0)
+    var = jnp.mean(jnp.sum((decoded - xbar[None]) ** 2, axis=-1), axis=0)  # (T,B)
+    disagreement = jnp.sum(var[1:] + var[:-1], axis=0)
+
+    def mean_decode(z):
+        return jnp.mean(decode_all(decoders, z), axis=0)
+
+    _, tangents = jax.jvp(mean_decode, (gamma,), (gamma_dot,))
+    T = gamma.shape[0]
+    dt = 1.0 / (T - 1)
+    w = jnp.ones((T,), gamma.dtype).at[0].set(0.5).at[-1].set(0.5)
+    jvp_term = (
+        jnp.sum(jnp.sum(tangents * tangents, axis=-1) * w[:, None], axis=0) * dt * dt
+    )
+    return jvp_term + disagreement
