@@ -1,0 +1,182 @@
+"""Batched geodesic energy minimization: the framework's core workload.
+
+The reference's hot loop (``src/optimize.py:143-186``) runs a Python ``for``
+loop of Adam steps, each dispatching ~15 CUDA kernels.  Here the *entire*
+optimization — spline eval, ensemble decode, energy, endpoint penalty,
+backward, Adam update, for all steps — is one ``lax.scan`` inside one jit:
+a single XLA program per batch with zero host round-trips.
+
+Loss semantics match the reference exactly: per-spline
+``energy + endpoint_weight * ||gamma(1) - b||^2`` summed over the batch
+(``src/optimize.py:155-162``), Adam(lr, 0.9, 0.999, eps=1e-8) on omega only.
+
+The single-spline early-stopping variant (reference
+``src/single_decoder/optimize_energy.py:119-165``: track best energy, stop
+after ``patience`` steps with relative improvement < ``delta``, restore best
+params) is a ``lax.while_loop`` carrying best-so-far state — batched over
+splines with an active mask instead of one curve at a time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vae_latent_geometry_tpu.config import GeodesicConfig
+from vae_latent_geometry_tpu.geometry import energy as energy_lib
+from vae_latent_geometry_tpu.geometry.spline import (
+    design_matrix,
+    design_matrix_derivative,
+    eval_spline_design,
+    eval_spline_velocity,
+)
+
+
+class GeodesicResult(NamedTuple):
+    omega: jax.Array          # (B, K, D) optimized parameters
+    energy: jax.Array         # (B,) final-step energy (per-spline)
+    lengths: jax.Array        # (B,) sqrt(energy) — the reference's
+    #                           "geodesic length" (src/optimize.py:168)
+    energy_history: Optional[jax.Array] = None  # (steps, B) if recorded
+
+
+def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int):
+    if mode == "single":
+        return energy_lib.energy_single(decoders, gamma)
+    if mode == "mc":
+        return energy_lib.energy_mc(decoders, gamma, key, mc_samples)
+    if mode == "expected":
+        return energy_lib.energy_expected(decoders, gamma)
+    if mode == "jvp":
+        return energy_lib.energy_jvp(decoders, gamma, gamma_dot)
+    if mode == "jvp_ensemble":
+        return energy_lib.energy_jvp_ensemble(decoders, gamma, gamma_dot)
+    raise ValueError(f"unknown energy mode {mode!r}")
+
+
+def make_loss_fn(decoders, basis, cfg: GeodesicConfig) -> Callable:
+    """Build loss(omega, a, b, key) -> (scalar_loss, per_spline_energy).
+
+    ``decoders`` is a stacked ensemble pytree for ensemble modes, or a single
+    decoder pytree for mode='single'/'jvp'.
+    """
+    e_cfg = cfg.energy
+    t = jnp.linspace(0.0, 1.0, e_cfg.num_t)
+    basis = jnp.asarray(basis)
+    phi = design_matrix(t, basis, cfg.spline.n_poly)
+    needs_vel = e_cfg.mode.startswith("jvp")
+    dphi = (design_matrix_derivative(t, basis, cfg.spline.n_poly)
+            if needs_vel else None)
+    t_end = jnp.array([1.0])
+    phi_end = design_matrix(t_end, basis, cfg.spline.n_poly)
+
+    def loss(omega, a, b, key):
+        gamma = eval_spline_design(omega, a, b, phi, t)
+        gamma_dot = (eval_spline_velocity(omega, a, b, dphi)
+                     if needs_vel else None)
+        e = _energy_fn(e_cfg.mode, decoders, gamma, gamma_dot, key,
+                       e_cfg.mc_samples)
+        # endpoint penalty (reference src/optimize.py:158-160): exactly zero
+        # in exact arithmetic because the basis enforces offset(1)=0, kept for
+        # faithful gradients under float32.
+        gamma_end = eval_spline_design(omega, a, b, phi_end, t_end)
+        ep = jnp.sum((gamma_end[0] - b) ** 2, axis=-1)
+        per_spline = e + e_cfg.endpoint_weight * ep
+        return jnp.sum(per_spline), e
+
+    return loss
+
+
+@partial(jax.jit, static_argnames=("cfg", "record_history"))
+def _optimize_scan(decoders, omega0, a, b, basis, key,
+                   cfg: GeodesicConfig, record_history: bool = False):
+    loss_fn = make_loss_fn(decoders, basis, cfg)
+    opt = optax.adam(cfg.lr)
+    opt_state = opt.init(omega0)
+
+    def step(carry, step_key):
+        omega, opt_state = carry
+        (loss, e), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            omega, a, b, step_key
+        )
+        updates, opt_state = opt.update(grads, opt_state, omega)
+        omega = optax.apply_updates(omega, updates)
+        return (omega, opt_state), (e if record_history else None)
+
+    keys = jax.random.split(key, cfg.steps)
+    (omega, _), hist = jax.lax.scan(step, (omega0, opt_state), keys)
+    # final energy at the *final* params (the reference reports the energy of
+    # the penultimate params; for converged runs these agree to MC noise).
+    _, e_final = loss_fn(omega, a, b, jax.random.fold_in(key, cfg.steps))
+    return omega, e_final, hist
+
+
+def optimize_splines(decoders, omega0, a, b, basis, cfg: GeodesicConfig,
+                     key=None, record_history: bool = False) -> GeodesicResult:
+    """Optimize a batch of splines jointly.
+
+    decoders: stacked ensemble pytree (or single decoder pytree for
+              mode='single'/'jvp')
+    omega0:   (B, K, D) initial spline params;  a, b: (B, D) endpoints.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    omega, e_final, hist = _optimize_scan(
+        decoders, omega0, a, b, jnp.asarray(basis), key, cfg, record_history
+    )
+    return GeodesicResult(
+        omega=omega,
+        energy=e_final,
+        lengths=jnp.sqrt(e_final),
+        energy_history=hist if record_history else None,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig):
+    loss_fn = make_loss_fn(decoders, basis, cfg)
+    opt = optax.adam(cfg.lr)
+
+    _, e0 = loss_fn(omega0, a, b, key)
+
+    def cond(state):
+        step, _, _, _, _, patience_ctr = state
+        return jnp.logical_and(step < cfg.steps,
+                               jnp.min(patience_ctr) <= cfg.patience)
+
+    def body(state):
+        step, omega, opt_state, best_omega, best_e, patience_ctr = state
+        step_key = jax.random.fold_in(key, step)
+        (_, e), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            omega, a, b, step_key
+        )
+        updates, opt_state = opt.update(grads, opt_state, omega)
+        omega = optax.apply_updates(omega, updates)
+        rel_improvement = (best_e - e) / best_e
+        improved = rel_improvement > cfg.delta          # (B,)
+        best_e = jnp.where(improved, e, best_e)
+        best_omega = jnp.where(improved[:, None, None], omega, best_omega)
+        patience_ctr = jnp.where(improved, 0, patience_ctr + 1)
+        return step + 1, omega, opt_state, best_omega, best_e, patience_ctr
+
+    state = (0, omega0, opt.init(omega0), omega0, e0,
+             jnp.zeros(omega0.shape[0], jnp.int32))
+    _, _, _, best_omega, best_e, _ = jax.lax.while_loop(cond, body, state)
+    return best_omega, best_e
+
+
+def optimize_spline_early_stopping(decoders, omega0, a, b, basis,
+                                   cfg: GeodesicConfig, key=None) -> GeodesicResult:
+    """Best-params-restoring early-stopped optimization (batched over B with
+    per-spline patience counters; the loop exits when every spline is out of
+    patience or the step budget is spent)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    omega, e = _optimize_early_stop(
+        decoders, omega0, a, b, jnp.asarray(basis), key, cfg
+    )
+    return GeodesicResult(omega=omega, energy=e, lengths=jnp.sqrt(e))
