@@ -1,0 +1,125 @@
+"""Evaluation layer: distance matrices, CoV, per-spline active decoders."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_latent_geometry_tpu.geometry import energy as E
+from vae_latent_geometry_tpu.io.artifacts import SplineBatchArtifact
+from vae_latent_geometry_tpu.models import nets
+from vae_latent_geometry_tpu.models.evae import EVAEParams, stack_decoders
+from vae_latent_geometry_tpu.pipeline.evaluate import (
+    compute_cov,
+    cov_analysis,
+    distance_matrix,
+)
+
+
+def _mini_artifact():
+    reps = [{"index": 3, "label": "A"}, {"index": 9, "label": "B"},
+            {"index": 20, "label": "C"}]
+    pair_idx = np.array([[3, 9], [3, 20], [9, 20]])
+    return SplineBatchArtifact(
+        a=np.zeros((3, 2)), b=np.ones((3, 2)),
+        omega_init=np.zeros((3, 5, 2)), basis=np.zeros((16, 5)), n_poly=4,
+        pair_indices=pair_idx, valid=np.array([True, True, False]),
+        pair_labels=[["A", "B"], ["A", "C"], ["B", "C"]],
+        representatives=reps,
+        geodesic_length=np.array([1.5, 2.5, 3.5]),
+        euclidean_distance=np.array([0.5, 0.7, 0.9]),
+    )
+
+
+def test_distance_matrix_symmetric_with_nan_holes():
+    mat, labels = distance_matrix(_mini_artifact(), "geodesic")
+    assert labels == ["A", "B", "C"]
+    assert mat[0, 1] == mat[1, 0] == 1.5
+    assert mat[0, 2] == mat[2, 0] == 2.5
+    assert np.isnan(mat[1, 2]) and np.isnan(mat[2, 1])  # invalid pair -> hole
+    assert np.all(np.diag(mat) == 0)
+
+
+def test_distance_matrix_euclidean():
+    mat, _ = distance_matrix(_mini_artifact(), "euclidean")
+    assert mat[0, 1] == 0.5
+
+
+def test_compute_cov_matches_definition():
+    v = np.array([1.0, 2.0, 3.0])
+    assert compute_cov(v) == pytest.approx(np.std(v) / np.mean(v))
+    assert compute_cov(np.zeros(3)) == 0.0  # zero-mean guard
+
+
+def _rand_ensemble(key, m=4, latent=2, out=6):
+    return stack_decoders([
+        nets.decoder_init(k, latent, out, (16,))
+        for k in jax.random.split(key, m)
+    ])
+
+
+def test_num_active_expected_matches_subensemble(rng):
+    """energy_expected with num_active=k equals energy_expected of the
+    sub-ensemble of the first k decoders."""
+    decs = _rand_ensemble(jax.random.PRNGKey(0), m=5)
+    gamma = jnp.asarray(rng.normal(size=(20, 6, 2)), jnp.float32)
+    for k in (1, 3, 5):
+        sub = jax.tree_util.tree_map(lambda x: x[:k], decs)
+        full = E.energy_expected(decs, gamma,
+                                 num_active=jnp.full((6,), k, jnp.int32))
+        ref = E.energy_expected(sub, gamma)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(ref),
+                                   rtol=1e-5)
+
+
+def test_num_active_mc_stays_in_range(rng):
+    """MC with num_active=1 must equal the single-decoder-0 energy exactly
+    (only decoder 0 can ever be drawn)."""
+    decs = _rand_ensemble(jax.random.PRNGKey(1), m=4)
+    gamma = jnp.asarray(rng.normal(size=(16, 3, 2)), jnp.float32)
+    dec0 = jax.tree_util.tree_map(lambda x: x[0], decs)
+    e_mc = E.energy_mc(decs, gamma, jax.random.PRNGKey(9), mc_samples=2,
+                       num_active=jnp.ones((3,), jnp.int32))
+    e_single = E.energy_single(dec0, gamma)
+    np.testing.assert_allclose(np.asarray(e_mc), np.asarray(e_single),
+                               rtol=1e-5)
+
+
+def test_cov_analysis_shapes_and_sanity(rng):
+    """Two synthetic 'seeds' x 3 pairs x 2 decoder counts, tiny steps."""
+    latent, xdim = 2, 6
+
+    def mk_model(seed):
+        key = jax.random.PRNGKey(seed)
+        enc = nets.encoder_init(jax.random.fold_in(key, 0), xdim, latent, (16,))
+        decs = _rand_ensemble(jax.random.fold_in(key, 1), m=3,
+                              latent=latent, out=xdim)
+        return EVAEParams(encoder=enc, decoders=decs)
+
+    models = [mk_model(0), mk_model(1)]
+    data = rng.normal(size=(30, xdim)).astype(np.float32)
+    pairs = [(0, 10), (5, 20), (7, 29)]
+    res = cov_analysis(models, seeds=[0, 1], data=data, pairs=pairs,
+                       decoder_counts=[1, 3], steps=20, num_t=32)
+    assert res.lengths.shape == (2, 3, 2)
+    assert res.euclidean.shape == (2, 3)
+    assert set(res.avg_cov_geodesic) == {1, 3}
+    for k, v in res.avg_cov_geodesic.items():
+        assert 0 <= v < 5
+    j = res.to_json()
+    assert j["num_pairs"] == 3 and j["decoder_counts"] == [1, 3]
+
+
+def test_cov_analysis_identical_models_zero_cov(rng):
+    latent, xdim = 2, 6
+    key = jax.random.PRNGKey(3)
+    enc = nets.encoder_init(jax.random.fold_in(key, 0), xdim, latent, (16,))
+    decs = _rand_ensemble(jax.random.fold_in(key, 1), m=2,
+                          latent=latent, out=xdim)
+    m = EVAEParams(encoder=enc, decoders=decs)
+    data = rng.normal(size=(20, xdim)).astype(np.float32)
+    res = cov_analysis([m, m], seeds=[0, 0], data=data,
+                       pairs=[(0, 5), (2, 9)], decoder_counts=[2],
+                       steps=15, num_t=32, mode="expected")
+    np.testing.assert_allclose(res.raw_cov_geodesic[2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(res.raw_cov_euclidean, 0.0, atol=1e-6)

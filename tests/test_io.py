@@ -1,0 +1,85 @@
+"""IO layer: pytree checkpoints, spline artifacts, reference-blob interop."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference
+from vae_latent_geometry_tpu.io.artifacts import (
+    SplineBatchArtifact,
+    from_reference_blob,
+    load_spline_batch,
+    save_spline_batch,
+)
+from vae_latent_geometry_tpu.io.checkpoint import load_pytree, save_pytree
+
+
+def test_pytree_roundtrip(tmp_path, rng):
+    import jax
+
+    from vae_latent_geometry_tpu.config import ModelConfig
+    from vae_latent_geometry_tpu.models.evae import evae_init
+
+    params = evae_init(jax.random.PRNGKey(0),
+                       ModelConfig(input_dim=6, num_decoders=3,
+                                   encoder_hidden=(8,), decoder_hidden=(8,)))
+    path = str(tmp_path / "ckpt.npz")
+    save_pytree(params, path, extra_meta={"epoch": 3})
+    loaded, meta = load_pytree(path, params)
+    assert meta == {"epoch": 3}
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pytree_shape_mismatch_raises(tmp_path):
+    import jax
+
+    tree = {"w": np.zeros((3, 3))}
+    path = str(tmp_path / "c.npz")
+    save_pytree(tree, path)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_pytree(path, {"w": np.zeros((2, 2))})
+    with pytest.raises(KeyError):
+        load_pytree(path, {"other": np.zeros((3, 3))})
+
+
+def test_artifact_roundtrip(tmp_path, rng):
+    art = SplineBatchArtifact(
+        a=rng.normal(size=(4, 2)).astype(np.float32),
+        b=rng.normal(size=(4, 2)).astype(np.float32),
+        omega_init=rng.normal(size=(4, 5, 2)).astype(np.float32),
+        basis=rng.normal(size=(16, 5)).astype(np.float32), n_poly=4,
+        pair_indices=np.arange(8).reshape(4, 2),
+        valid=np.array([True, True, False, True]),
+        pair_labels=[["a", "b"]] * 4,
+        representatives=[{"index": 0, "label": "a"}],
+        geodesic_length=np.array([1.0, 2.0, np.nan, 4.0], np.float32),
+        metadata={"steps": 100},
+    )
+    p = str(tmp_path / "art")
+    save_spline_batch(art, p)
+    back = load_spline_batch(p)
+    np.testing.assert_array_equal(back.a, art.a)
+    np.testing.assert_array_equal(back.valid, art.valid)
+    np.testing.assert_array_equal(back.omega_init, art.omega_init)
+    assert back.metadata == {"steps": 100}
+    assert back.omega_optimized is None
+    assert back.euclidean_distance is None
+    np.testing.assert_array_equal(back.geodesic_length, art.geodesic_length)
+
+
+@requires_reference
+def test_reference_blob_conversion():
+    from vae_latent_geometry_tpu.models.torch_import import load_spline_blob
+
+    blob = load_spline_blob(
+        "/root/reference/experiment/splines_opt_model_seed12/"
+        "spline_batch_opt_euclidean_10.pt"
+    )
+    art = from_reference_blob(blob)
+    assert len(art) == 45
+    assert art.basis.shape == (16, 5)
+    assert art.omega_optimized.shape == (45, 5, 2)
+    assert np.isfinite(art.geodesic_length).all()
+    assert art.pair_labels[0][0] == "Astro Aqp4"
+    assert art.metadata["steps"] == 1000

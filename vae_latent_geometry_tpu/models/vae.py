@@ -1,0 +1,85 @@
+"""Legacy single-decoder VAE family (heteroscedastic observation model).
+
+Reference ``src/single_decoder/vae.py``: ReLU encoder with log-std clamped to
+[-4, 2], decoder producing mean AND log-std clamped to [-2, 2]; ELBO with a
+beta weight and optional part decomposition; ensemble variant = shared encoder
++ list of heteroscedastic decoders with a random choice per call.
+
+Here the ensemble variant reuses the stacked-decoder representation from
+``evae.py`` — a heteroscedastic stacked pytree — so all ensemble machinery
+(vmap decode, axis sharding) applies unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vae_latent_geometry_tpu.config import ModelConfig
+from vae_latent_geometry_tpu.models import nets
+
+LEGACY_CONFIG = ModelConfig(
+    heteroscedastic=True,
+    encoder_hidden=(128, 64),
+    decoder_hidden=(128, 128),
+)
+
+
+class VAEParams(NamedTuple):
+    encoder: dict
+    decoder: dict
+
+
+def vae_init(key, cfg: ModelConfig = LEGACY_CONFIG) -> VAEParams:
+    ek, dk = jax.random.split(key)
+    return VAEParams(
+        encoder=nets.encoder_init(ek, cfg.input_dim, cfg.latent_dim,
+                                  tuple(cfg.encoder_hidden), use_layernorm=False),
+        decoder=nets.decoder_init(dk, cfg.latent_dim, cfg.input_dim,
+                                  tuple(cfg.decoder_hidden), heteroscedastic=True),
+    )
+
+
+def encode(params: VAEParams, x, cfg: ModelConfig = LEGACY_CONFIG):
+    mean, log_std = nets.encoder_apply(params.encoder, x, activation="relu")
+    lo, hi = cfg.encoder_logstd_clamp
+    return mean, jnp.clip(log_std, lo, hi)
+
+
+def decode(decoder_params, z, cfg: ModelConfig = LEGACY_CONFIG):
+    return nets.decoder_apply_full(decoder_params, z,
+                                   clamp=tuple(cfg.decoder_logstd_clamp))
+
+
+def _logprob(x, mean, log_std):
+    std = jnp.exp(log_std)
+    return jnp.sum(
+        -0.5 * ((x - mean) / std) ** 2 - log_std - 0.5 * jnp.log(2.0 * jnp.pi),
+        axis=-1,
+    )
+
+
+def elbo(params: VAEParams, key, x, beta: float = 1.0,
+         cfg: ModelConfig = LEGACY_CONFIG, return_parts: bool = False):
+    """Single-sample ELBO (reference ``src/single_decoder/vae.py:54-63``)."""
+    mean, log_std = encode(params, x, cfg)
+    std = jnp.exp(log_std)
+    z = mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+    x_mean, x_log_std = decode(params.decoder, z, cfg)
+    recon = _logprob(x, x_mean, x_log_std)
+    logqz = _logprob(z, mean, log_std)
+    logpz = _logprob(z, jnp.zeros_like(z), jnp.zeros_like(z))
+    kl = logqz - logpz
+    value = recon - beta * kl
+    if return_parts:
+        return value.mean(), recon.mean(), kl.mean()
+    return value.mean()
+
+
+def sample(params: VAEParams, key, n: int = 1, cfg: ModelConfig = LEGACY_CONFIG):
+    """Draw n decoder means from prior samples (reference :68-70)."""
+    z = jax.random.normal(key, (n, cfg.latent_dim))
+    mean, _ = decode(params.decoder, z, cfg)
+    return mean

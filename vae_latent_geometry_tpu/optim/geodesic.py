@@ -44,13 +44,15 @@ class GeodesicResult(NamedTuple):
     energy_history: Optional[jax.Array] = None  # (steps, B) if recorded
 
 
-def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int):
+def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
+               num_active=None):
     if mode == "single":
         return energy_lib.energy_single(decoders, gamma)
     if mode == "mc":
-        return energy_lib.energy_mc(decoders, gamma, key, mc_samples)
+        return energy_lib.energy_mc(decoders, gamma, key, mc_samples,
+                                    num_active)
     if mode == "expected":
-        return energy_lib.energy_expected(decoders, gamma)
+        return energy_lib.energy_expected(decoders, gamma, num_active)
     if mode == "jvp":
         return energy_lib.energy_jvp(decoders, gamma, gamma_dot)
     if mode == "jvp_ensemble":
@@ -74,12 +76,12 @@ def make_loss_fn(decoders, basis, cfg: GeodesicConfig) -> Callable:
     t_end = jnp.array([1.0])
     phi_end = design_matrix(t_end, basis, cfg.spline.n_poly)
 
-    def loss(omega, a, b, key):
+    def loss(omega, a, b, key, num_active=None):
         gamma = eval_spline_design(omega, a, b, phi, t)
         gamma_dot = (eval_spline_velocity(omega, a, b, dphi)
                      if needs_vel else None)
         e = _energy_fn(e_cfg.mode, decoders, gamma, gamma_dot, key,
-                       e_cfg.mc_samples)
+                       e_cfg.mc_samples, num_active)
         # endpoint penalty (reference src/optimize.py:158-160): exactly zero
         # in exact arithmetic because the basis enforces offset(1)=0, kept for
         # faithful gradients under float32.
@@ -93,7 +95,8 @@ def make_loss_fn(decoders, basis, cfg: GeodesicConfig) -> Callable:
 
 @partial(jax.jit, static_argnames=("cfg", "record_history"))
 def _optimize_scan(decoders, omega0, a, b, basis, key,
-                   cfg: GeodesicConfig, record_history: bool = False):
+                   cfg: GeodesicConfig, record_history: bool = False,
+                   num_active=None):
     loss_fn = make_loss_fn(decoders, basis, cfg)
     opt = optax.adam(cfg.lr)
     opt_state = opt.init(omega0)
@@ -101,7 +104,7 @@ def _optimize_scan(decoders, omega0, a, b, basis, key,
     def step(carry, step_key):
         omega, opt_state = carry
         (loss, e), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            omega, a, b, step_key
+            omega, a, b, step_key, num_active
         )
         updates, opt_state = opt.update(grads, opt_state, omega)
         omega = optax.apply_updates(omega, updates)
@@ -111,22 +114,27 @@ def _optimize_scan(decoders, omega0, a, b, basis, key,
     (omega, _), hist = jax.lax.scan(step, (omega0, opt_state), keys)
     # final energy at the *final* params (the reference reports the energy of
     # the penultimate params; for converged runs these agree to MC noise).
-    _, e_final = loss_fn(omega, a, b, jax.random.fold_in(key, cfg.steps))
+    _, e_final = loss_fn(omega, a, b, jax.random.fold_in(key, cfg.steps),
+                         num_active)
     return omega, e_final, hist
 
 
 def optimize_splines(decoders, omega0, a, b, basis, cfg: GeodesicConfig,
-                     key=None, record_history: bool = False) -> GeodesicResult:
+                     key=None, record_history: bool = False,
+                     num_active=None) -> GeodesicResult:
     """Optimize a batch of splines jointly.
 
     decoders: stacked ensemble pytree (or single decoder pytree for
               mode='single'/'jvp')
     omega0:   (B, K, D) initial spline params;  a, b: (B, D) endpoints.
+    num_active: optional (B,) int — per-spline active-decoder count for the
+              ensemble energy modes (see ``energy.energy_mc``).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     omega, e_final, hist = _optimize_scan(
-        decoders, omega0, a, b, jnp.asarray(basis), key, cfg, record_history
+        decoders, omega0, a, b, jnp.asarray(basis), key, cfg, record_history,
+        num_active,
     )
     return GeodesicResult(
         omega=omega,

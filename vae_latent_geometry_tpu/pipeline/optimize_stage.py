@@ -1,0 +1,108 @@
+"""Pipeline stage: batched geodesic optimization over an initialized spline
+batch, with per-chunk checkpointing for preemption-safe long runs.
+
+Reference ``src/optimize.py:80-218``: load model + init blob, optimize in
+chunks of ``batch_size`` splines (1000 Adam steps each), record
+``omega_optimized``, ``geodesic_length = sqrt(energy)`` and the latent
+Euclidean distance per pair, save one blob at the very end (a crash loses
+everything).  Here each chunk's results are flushed into the artifact
+immediately and a resume scans for already-finished chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_latent_geometry_tpu.config import GeodesicConfig
+from vae_latent_geometry_tpu.io.artifacts import (
+    SplineBatchArtifact,
+    load_spline_batch,
+    save_spline_batch,
+)
+from vae_latent_geometry_tpu.models import evae as evae_lib
+from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
+
+
+def optimize_spline_batch(
+    params: evae_lib.EVAEParams,
+    art: SplineBatchArtifact,
+    data: Optional[np.ndarray] = None,
+    cfg: GeodesicConfig = GeodesicConfig(),
+    key=None,
+    checkpoint_path: Optional[str] = None,
+    log_every_chunk: bool = True,
+) -> SplineBatchArtifact:
+    """Optimize all splines in an artifact; returns the completed artifact.
+
+    data: original dataset for the latent Euclidean distances
+    (reference ``src/optimize.py:170-176``); skipped when None (e.g. the
+    endpoints already are encoder latents).
+    checkpoint_path: when set, per-chunk progress is persisted there and a
+    partially-complete file is resumed instead of recomputed.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    P = len(art)
+    omega_opt = np.array(art.omega_init, np.float32, copy=True)
+    lengths = np.full(P, np.nan, np.float32)
+    done = np.zeros(P, bool)
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        prev = load_spline_batch(checkpoint_path)
+        if len(prev) == P and prev.omega_optimized is not None:
+            omega_opt = np.array(prev.omega_optimized, np.float32, copy=True)
+            lengths = np.array(prev.geodesic_length, np.float32, copy=True)
+            done = np.isfinite(lengths)
+            if log_every_chunk and done.any():
+                print(f"[resume] {done.sum()}/{P} splines already optimized")
+
+    eucl = None
+    if data is not None:
+        z_mean, _ = evae_lib.encode(params, jnp.asarray(data))
+        za = np.asarray(z_mean)[art.pair_indices[:, 0]]
+        zb = np.asarray(z_mean)[art.pair_indices[:, 1]]
+        eucl = np.linalg.norm(za - zb, axis=1).astype(np.float32)
+
+    bs = cfg.batch_size
+    for start in range(0, P, bs):
+        sl = slice(start, min(start + bs, P))
+        if done[sl].all():
+            continue
+        res = optimize_splines(
+            params.decoders,
+            jnp.asarray(art.omega_init[sl]),
+            jnp.asarray(art.a[sl]), jnp.asarray(art.b[sl]),
+            art.basis, cfg, key=jax.random.fold_in(key, start),
+        )
+        omega_opt[sl] = np.asarray(res.omega)
+        lengths[sl] = np.asarray(res.lengths)
+        done[sl] = True
+        if log_every_chunk:
+            print(f"[chunk {start // bs + 1}/{(P - 1) // bs + 1}] "
+                  f"mean energy {float(np.mean(np.asarray(res.energy))):.4f}")
+        if checkpoint_path:
+            partial = dataclasses.replace(
+                art, omega_optimized=omega_opt, geodesic_length=lengths,
+                euclidean_distance=eucl,
+            )
+            save_spline_batch(partial, checkpoint_path)
+
+    lengths = np.where(art.valid, lengths, np.nan)
+    out = dataclasses.replace(
+        art,
+        omega_optimized=omega_opt,
+        geodesic_length=lengths,
+        euclidean_distance=eucl,
+        metadata={**art.metadata,
+                  "steps": cfg.steps, "mc_samples": cfg.energy.mc_samples,
+                  "energy_mode": cfg.energy.mode, "num_t": cfg.energy.num_t},
+    )
+    if checkpoint_path:
+        save_spline_batch(out, checkpoint_path)
+    return out
