@@ -1,0 +1,171 @@
+"""Headline benchmark: ensemble geodesic energy-optimization throughput.
+
+Workload = the reference's core hot loop (upstream ``src/optimize.py``
+config: batch 200 splines, T=2000 quadrature points, M=2 MC decoder pairs,
+10 decoders, Adam lr 1e-3) measured as optimization steps/second.
+
+- Ours: the full scan-jitted optimizer on the default JAX device (TPU).
+- Baseline: a minimal PyTorch implementation of the identical computation
+  (design-matrix spline eval -> 10-decoder decode -> MC pair gather ->
+  backward -> Adam), measured on CPU (the only torch device in this image;
+  the upstream repo ships no published speed numbers — BASELINE.md).
+  The baseline number is cached in .bench_baseline.json after first run.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+B = 200          # splines per batch (reference batch_size)
+T = 2000         # quadrature samples
+M_DEC = 10       # ensemble size
+MC = 2           # MC samples
+STEPS_MEASURE = 60
+BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+EVAE_CKPT = "/root/reference/experiment/model_seed12.pt"
+
+
+def _problem():
+    rng = np.random.default_rng(12)
+    omega = (rng.normal(size=(B, 5, 2)) * 0.01).astype(np.float32)
+    a = (rng.normal(size=(B, 2)) * 1.5).astype(np.float32)
+    b = (rng.normal(size=(B, 2)) * 1.5).astype(np.float32)
+    return omega, a, b
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig, ModelConfig
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.models.evae import evae_init
+    from vae_latent_geometry_tpu.optim.geodesic import _optimize_scan
+
+    if os.path.exists(EVAE_CKPT):
+        from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
+
+        params = load_evae_checkpoint(EVAE_CKPT)
+    else:
+        params = evae_init(jax.random.PRNGKey(0), ModelConfig())
+    decoders = jax.tree_util.tree_map(jnp.asarray, params.decoders)
+
+    omega, a, b = _problem()
+    basis, _ = nullspace_basis(4)
+    cfg = GeodesicConfig(
+        steps=STEPS_MEASURE, lr=1e-3,
+        energy=EnergyConfig(num_t=T, mode="mc", mc_samples=MC),
+    )
+    args = (decoders, jnp.asarray(omega), jnp.asarray(a), jnp.asarray(b),
+            jnp.asarray(basis), jax.random.PRNGKey(0), cfg)
+    # compile + warmup
+    out = _optimize_scan(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = _optimize_scan(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return STEPS_MEASURE / dt
+
+
+def bench_torch_baseline(steps: int = 3) -> float:
+    """Reference-equivalent PyTorch workload on CPU (own implementation)."""
+    import torch
+
+    torch.manual_seed(12)
+    omega_np, a_np, b_np = _problem()
+
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.geometry.spline import design_matrix
+
+    basis, _ = nullspace_basis(4)
+    t = np.linspace(0.0, 1.0, T, dtype=np.float32)
+    phi = torch.from_numpy(np.asarray(design_matrix(t, basis, 4)))
+    phi_end = torch.from_numpy(np.asarray(design_matrix(
+        np.array([1.0], np.float32), basis, 4)))
+
+    if os.path.exists(EVAE_CKPT):
+        sd = torch.load(EVAE_CKPT, map_location="cpu")
+        dec_w = [[(sd[f"decoder.{i}.decoder_net.{j}.weight"],
+                   sd[f"decoder.{i}.decoder_net.{j}.bias"]) for j in (0, 2, 4)]
+                 for i in range(M_DEC)]
+    else:
+        g = torch.Generator().manual_seed(0)
+        def lin(i, o):
+            return (torch.randn(o, i, generator=g) * 0.2,
+                    torch.randn(o, generator=g) * 0.1)
+        dec_w = [[lin(2, 128), lin(128, 128), lin(128, 50)]
+                 for _ in range(M_DEC)]
+
+    omega = torch.from_numpy(omega_np).clone().requires_grad_(True)
+    a = torch.from_numpy(a_np)
+    b = torch.from_numpy(b_np)
+    opt = torch.optim.Adam([omega], lr=1e-3)
+
+    def decode(w, z):
+        h = torch.relu(torch.nn.functional.linear(z, *w[0]))
+        h = torch.relu(torch.nn.functional.linear(h, *w[1]))
+        return torch.nn.functional.linear(h, *w[2])
+
+    tt = torch.from_numpy(t)[:, None, None]
+
+    def one_step():
+        opt.zero_grad()
+        gamma = (1 - tt) * a[None] + tt * b[None] + torch.einsum(
+            "tk,bkd->tbd", phi, omega)
+        decoded = torch.stack([decode(w, gamma) for w in dec_w])  # (M,T,B,X)
+        total = torch.zeros(B)
+        for _ in range(MC):
+            d1 = torch.randint(0, M_DEC, (T - 1, B))
+            d2 = torch.randint(0, M_DEC, (T - 1, B))
+            it = torch.arange(T - 1)[:, None]
+            ib = torch.arange(B)[None, :]
+            x1 = decoded[d1, it, ib]
+            x2 = decoded[d2, it + 1, ib]
+            total = total + ((x2 - x1) ** 2).sum(dim=2).sum(dim=0)
+        energy = total / MC
+        g_end = b + torch.einsum("tk,bkd->bd", phi_end, omega)
+        loss = (energy + 1000.0 * ((g_end - b) ** 2).sum(dim=1)).sum()
+        loss.backward()
+        opt.step()
+
+    one_step()  # warmup/allocation
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    return steps / (time.perf_counter() - t0)
+
+
+def main():
+    fresh_baseline = "--fresh-baseline" in sys.argv
+    if os.path.exists(BASELINE_CACHE) and not fresh_baseline:
+        baseline = json.loads(open(BASELINE_CACHE).read())["steps_per_sec"]
+    else:
+        baseline = bench_torch_baseline()
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"steps_per_sec": baseline,
+                       "workload": f"B={B},T={T},Mdec={M_DEC},MC={MC}",
+                       "device": "torch-cpu"}, f)
+
+    ours = bench_jax()
+    print(json.dumps({
+        "metric": "ensemble_energy_opt_steps_per_sec_B200_T2000_10dec",
+        "value": round(ours, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(ours / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

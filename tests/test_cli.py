@@ -1,0 +1,88 @@
+"""CLI smoke tests: tiny end-to-end pipeline in a temp workdir."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vae_latent_geometry_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, rng):
+    """Isolated workdir with a tiny synthetic dataset on disk."""
+    wd = tmp_path_factory.mktemp("cliwork")
+    data_dir = wd / "data"
+    data_dir.mkdir()
+    n = 600
+    labels = np.array([f"c{i % 8}" for i in range(n)])
+    x = rng.normal(size=(n, 50)).astype(np.float32)
+    x[:, :2] += 5.0 * np.stack([np.cos(2 * np.pi * (np.arange(n) % 8) / 8),
+                                np.sin(2 * np.pi * (np.arange(n) % 8) / 8)],
+                               axis=1)
+    np.save(data_dir / "tasic-pca50.npy", x)
+    np.save(data_dir / "tasic-ttypes.npy", labels)
+    cwd = os.getcwd()
+    os.chdir(wd)
+    yield wd
+    os.chdir(cwd)
+
+
+def test_full_cli_pipeline(workdir):
+    dd = str(workdir / "data")
+    # 1. train
+    main(["train", "--data-dir", dd, "--epochs", "2", "--seed", "5",
+          "--num-decoders", "3"])
+    assert (workdir / "experiment" / "model_seed5.npz").exists()
+    # 2. select pairs
+    main(["select-pairs", "--data-dir", dd,
+          "--model", "experiment/model_seed5.npz", "--max-labels", "4"])
+    pairfile = workdir / "experiment" / "pairs" / "selected_pairs_4.json"
+    assert pairfile.exists()
+    pdata = json.loads(pairfile.read_text())
+    assert len(pdata["representatives"]) == 4 and len(pdata["pairs"]) == 6
+    # 3. init splines (euclidean)
+    main(["init-splines", "--data-dir", dd,
+          "--model", "experiment/model_seed5.npz",
+          "--pairfile", str(pairfile), "--grid", "40"])
+    init_path = (workdir / "experiment" / "splines_init_model_seed5" /
+                 "spline_batch_init_euclidean_4.npz")
+    assert init_path.exists()
+    # 4. optimize (tiny config)
+    main(["optimize", "--data-dir", dd,
+          "--model", "experiment/model_seed5.npz",
+          "--init-type", "euclidean", "--pair-count", "4",
+          "--steps", "15", "--num-t", "48", "--energy-mode", "expected"])
+    opt_path = (workdir / "experiment" / "splines_opt_model_seed5" /
+                "spline_batch_opt_euclidean_4.npz")
+    assert opt_path.exists()
+    # 5. eval matrix
+    main(["eval", "--mode", "matrix", "--seed", "5",
+          "--init-type", "euclidean", "--pair-count", "4",
+          "--splines", str(opt_path)])
+    mat_json = (workdir / "experiment" / "plots" /
+                "geodesic_matrix_seed5_euclidean_4.json")
+    assert mat_json.exists()
+    m = json.loads(mat_json.read_text())
+    assert len(m["distance_matrix"]) == 4
+    # 6. eval cov (model-dir holds the npz checkpoint)
+    main(["eval", "--mode", "cov", "--data-dir", dd, "--seeds", "5",
+          "--pair-count", "4", "--pairfile", str(pairfile),
+          "--steps", "5", "--num-t", "32"])
+    cov_json = workdir / "experiment" / "plots" / "cov_values_alldec_4.json"
+    assert cov_json.exists()
+
+
+def test_cli_entropy_init(workdir):
+    main(["init-splines", "--data-dir", str(workdir / "data"),
+          "--model", "experiment/model_seed5.npz",
+          "--pairfile", "experiment/pairs/selected_pairs_4.json",
+          "--grid", "30", "--use-entropy"])
+    assert (workdir / "experiment" / "splines_init_model_seed5" /
+            "spline_batch_init_entropy_4.npz").exists()
+
+
+def test_cli_unknown_command_errors():
+    with pytest.raises(SystemExit):
+        main(["frobnicate"])

@@ -1,0 +1,77 @@
+"""Fused Pallas energy kernel vs the XLA reference path (interpret mode on
+CPU; compiled on real TPU via bench)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_latent_geometry_tpu.geometry import energy as E
+from vae_latent_geometry_tpu.models import nets
+from vae_latent_geometry_tpu.models.evae import stack_decoders
+from vae_latent_geometry_tpu.ops.energy_pallas import (
+    energy_expected_fused,
+    fused_available,
+)
+
+pytestmark = pytest.mark.skipif(not fused_available(),
+                                reason="pallas unavailable")
+
+
+@pytest.fixture(scope="module")
+def setup(rng):
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 50, (128, 128))
+        for k in jax.random.split(jax.random.PRNGKey(0), 4)
+    ])
+    T, B = 64, 8
+    gamma = jnp.asarray(rng.normal(size=(T, B, 2)) * 1.5, jnp.float32)
+    return decs, gamma
+
+
+def test_forward_matches_xla(setup):
+    decs, gamma = setup
+    e_ref = np.asarray(E.energy_expected(decs, gamma))
+    e_fused = np.asarray(energy_expected_fused(decs, gamma))
+    np.testing.assert_allclose(e_fused, e_ref, rtol=1e-5)
+
+
+def test_backward_matches_xla(setup):
+    decs, gamma = setup
+    g_ref = jax.grad(lambda g: jnp.sum(E.energy_expected(decs, g)))(gamma)
+    g_fused = jax.grad(
+        lambda g: jnp.sum(energy_expected_fused(decs, g)))(gamma)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_backward_weighted_cotangent(setup):
+    """Per-spline cotangents flow correctly (loss = <w, E>)."""
+    decs, gamma = setup
+    w = jnp.asarray(np.linspace(0.5, 2.0, gamma.shape[1]), jnp.float32)
+    g_ref = jax.grad(lambda g: jnp.sum(w * E.energy_expected(decs, g)))(gamma)
+    g_fused = jax.grad(
+        lambda g: jnp.sum(w * energy_expected_fused(decs, g)))(gamma)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_uneven_chunking(rng):
+    """T with a small prime factor still splits into valid chunks."""
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 10, (16,))
+        for k in jax.random.split(jax.random.PRNGKey(1), 3)
+    ])
+    for T in (10, 25, 33):
+        gamma = jnp.asarray(rng.normal(size=(T, 4, 2)), jnp.float32)
+        e_ref = np.asarray(E.energy_expected(decs, gamma))
+        e_fused = np.asarray(energy_expected_fused(decs, gamma))
+        np.testing.assert_allclose(e_fused, e_ref, rtol=1e-5,
+                                   err_msg=f"T={T}")
+
+
+def test_bfloat16_mode_close(setup):
+    decs, gamma = setup
+    e_ref = np.asarray(E.energy_expected(decs, gamma))
+    e_bf = np.asarray(energy_expected_fused(decs, gamma, "bfloat16"))
+    np.testing.assert_allclose(e_bf, e_ref, rtol=3e-2)

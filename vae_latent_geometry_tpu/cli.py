@@ -1,0 +1,358 @@
+"""Unified CLI for the full pipeline.
+
+The reference drives each stage as a separate ``python -m src.<script>``
+argparse program with file-name conventions as the de-facto config system
+(``src/optimize.py:84-92``).  Here one CLI exposes the same stages as
+subcommands with the same defaults, writing columnar .npz artifacts plus the
+same JSON formats:
+
+  python -m vae_latent_geometry_tpu train        --seed 12 --epochs 600
+  python -m vae_latent_geometry_tpu train-single
+  python -m vae_latent_geometry_tpu select-pairs --max-labels 133
+  python -m vae_latent_geometry_tpu init-splines --model ... --pairfile ... [--use-entropy]
+  python -m vae_latent_geometry_tpu optimize     --model ... --init-type euclidean --pair-count 10
+  python -m vae_latent_geometry_tpu eval         --mode matrix|cov ...
+  python -m vae_latent_geometry_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_data(args):
+    from vae_latent_geometry_tpu.data import load_tasic
+
+    data = load_tasic(getattr(args, "data_dir", None))
+    if data.synthetic:
+        print("[warn] tasic-pca50.npy not found — using the deterministic "
+              "synthetic surrogate (see data/tasic.py)")
+    return data
+
+
+def _load_model(path: str):
+    """Load an EVAE from our .npz checkpoint or a reference .pt state dict."""
+    if str(path).endswith(".pt") or str(path).endswith(".pth"):
+        from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
+
+        return load_evae_checkpoint(path)
+    import jax
+
+    from vae_latent_geometry_tpu.config import ModelConfig, from_dict
+    from vae_latent_geometry_tpu.io.checkpoint import load_pytree, read_meta
+    from vae_latent_geometry_tpu.models.evae import evae_init
+
+    meta = read_meta(path)
+    mcfg = from_dict(ModelConfig, meta.get("model_config"))
+    template = evae_init(jax.random.PRNGKey(0), mcfg)
+    params, _ = load_pytree(path, template)
+    return params
+
+
+def cmd_train(args):
+    from vae_latent_geometry_tpu.config import ModelConfig, TrainConfig
+    from vae_latent_geometry_tpu.io.checkpoint import save_pytree
+    from vae_latent_geometry_tpu.pipeline.train import train_evae
+
+    data = _load_data(args)
+    cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                      lr=args.lr, seed=args.seed)
+    mcfg = ModelConfig(latent_dim=args.latent_dim,
+                       num_decoders=args.num_decoders)
+    res = train_evae(data.x, cfg, mcfg)
+    out = Path(args.save_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    from vae_latent_geometry_tpu.config import to_dict
+
+    ckpt = out / f"model_seed{args.seed}.npz"
+    save_pytree(res.params, str(ckpt),
+                extra_meta={"seed": args.seed, "epochs": args.epochs,
+                            "model_config": to_dict(mcfg)})
+    np.save(out / f"train_losses_seed{args.seed}.npy", res.train_losses)
+    np.save(out / f"val_losses_seed{args.seed}.npy", res.val_losses)
+    try:
+        from vae_latent_geometry_tpu.viz import plotting
+
+        plotting.plot_loss_curves(
+            res.train_losses, res.val_losses,
+            str(out / "plots" / f"loss_curve_seed{args.seed}.png"))
+    except Exception as ex:  # plotting must never fail the run
+        print(f"[warn] loss-curve plot failed: {ex}")
+    print(f"[ok] saved {ckpt}")
+
+
+def cmd_train_single(args):
+    from vae_latent_geometry_tpu.config import TrainConfig
+    from vae_latent_geometry_tpu.io.checkpoint import save_pytree
+    from vae_latent_geometry_tpu.pipeline.train import train_single_vae
+
+    data = _load_data(args)
+    cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                      lr=args.lr, seed=args.seed,
+                      beta_warmup_epochs=30, lr_step_size=200, lr_gamma=0.5)
+    res = train_single_vae(data.x, cfg)
+    out = Path(args.save_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    ckpt = out / f"vae_best_seed{args.seed}.npz"
+    save_pytree(res.best_params, str(ckpt), extra_meta={"seed": args.seed})
+    print(f"[ok] saved {ckpt} (best val {res.best_val_loss:.4f})")
+
+
+def cmd_select_pairs(args):
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.models.evae import encode
+    from vae_latent_geometry_tpu.pipeline.select_pairs import (
+        save_pairs,
+        select_representatives,
+    )
+
+    data = _load_data(args)
+    params = _load_model(args.model)
+    latents = np.asarray(encode(params, jnp.asarray(data.x))[0])
+    reps = select_representatives(latents, data.labels, args.max_labels)
+    out = Path(args.output or
+               f"experiment/pairs/selected_pairs_{args.max_labels}.json")
+    save_pairs(reps, out)
+    print(f"[ok] saved {len(reps)} representatives -> {out}")
+
+
+def cmd_init_splines(args):
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.config import InitConfig
+    from vae_latent_geometry_tpu.io.artifacts import (
+        SplineBatchArtifact,
+        save_spline_batch,
+    )
+    from vae_latent_geometry_tpu.models.evae import encode
+    from vae_latent_geometry_tpu.pipeline.init_splines import initialize_splines
+    from vae_latent_geometry_tpu.pipeline.select_pairs import load_pairs
+
+    data = _load_data(args)
+    params = _load_model(args.model)
+    latents = np.asarray(encode(params, jnp.asarray(data.x))[0])
+    reps, pairs = load_pairs(args.pairfile)
+    cfg = InitConfig(grid_points_per_axis=args.grid,
+                     use_entropy=args.use_entropy)
+    init = initialize_splines(latents, pairs, decoders=params.decoders,
+                              cfg=cfg)
+    label_of = {r["index"]: r["label"] for r in reps}
+    art = SplineBatchArtifact(
+        a=init.a, b=init.b, omega_init=init.omega, basis=init.basis,
+        n_poly=init.n_poly, pair_indices=init.pair_indices, valid=init.valid,
+        pair_labels=[[label_of.get(int(i), "?"), label_of.get(int(j), "?")]
+                     for i, j in init.pair_indices],
+        representatives=reps,
+        metadata={"init_type": init.init_type,
+                  "pair_count": args.pairfile.rstrip(".json").split("_")[-1]},
+    )
+    model_name = Path(args.model).stem
+    graph_type = "entropy" if args.use_entropy else "euclidean"
+    pairname = Path(args.pairfile).stem.replace("selected_pairs_", "")
+    out = Path(args.output or
+               f"experiment/splines_init_{model_name}/"
+               f"spline_batch_init_{graph_type}_{pairname}.npz")
+    save_spline_batch(art, str(out))
+    print(f"[ok] saved {int(init.valid.sum())}/{len(init.valid)} initialized "
+          f"splines -> {out}")
+
+
+def cmd_optimize(args):
+    from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
+    from vae_latent_geometry_tpu.io.artifacts import (
+        load_spline_batch,
+        save_spline_batch,
+    )
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    params = _load_model(args.model)
+    model_name = Path(args.model).stem
+    spline_path = args.splines or (
+        f"experiment/splines_init_{model_name}/"
+        f"spline_batch_init_{args.init_type}_{args.pair_count}.npz")
+    art = load_spline_batch(spline_path)
+    data = _load_data(args).x if not args.no_euclidean else None
+    cfg = GeodesicConfig(
+        steps=args.steps, lr=args.lr, batch_size=args.batch_size,
+        energy=EnergyConfig(num_t=args.num_t, mc_samples=args.mc_samples,
+                            mode=args.energy_mode),
+    )
+    out = Path(args.output or
+               f"experiment/splines_opt_{model_name}/"
+               f"spline_batch_opt_{args.init_type}_{args.pair_count}.npz")
+    res = optimize_spline_batch(params, art, data=data, cfg=cfg,
+                                checkpoint_path=str(out))
+    save_spline_batch(res, str(out))
+    print(f"[ok] optimized {len(res)} splines -> {out}")
+
+
+def cmd_eval(args):
+    from vae_latent_geometry_tpu.io.artifacts import load_spline_batch
+    from vae_latent_geometry_tpu.pipeline.evaluate import (
+        cov_analysis,
+        distance_matrix,
+    )
+
+    plot_dir = Path("experiment/plots")
+    plot_dir.mkdir(parents=True, exist_ok=True)
+    if args.mode == "matrix":
+        spline_path = (args.splines or
+                       f"experiment/splines_opt_model_seed{args.seed}/"
+                       f"spline_batch_opt_{args.init_type}_{args.pair_count}.npz")
+        art = load_spline_batch(spline_path)
+        mat, labels = distance_matrix(art, args.len_type)
+        out_json = plot_dir / (f"{args.len_type}_matrix_seed{args.seed}_"
+                               f"{args.init_type}_{args.pair_count}.json")
+        out_json.write_text(json.dumps({
+            "seed": args.seed, "cluster_ids": labels,
+            "distance_matrix": [[None if np.isnan(v) else float(v) for v in row]
+                                for row in mat],
+        }))
+        print(f"[ok] wrote {out_json}")
+        try:
+            from vae_latent_geometry_tpu.viz import plotting
+
+            plotting.plot_distance_matrix(
+                mat, labels, str(out_json.with_suffix(".png")),
+                title=f"{args.len_type} matrix seed {args.seed} "
+                      f"({args.init_type})")
+        except Exception as ex:
+            print(f"[warn] heatmap failed: {ex}")
+    elif args.mode == "cov":
+        data = _load_data(args)
+        from vae_latent_geometry_tpu.pipeline.select_pairs import load_pairs
+
+        pairfile = (args.pairfile or
+                    f"experiment/pairs/selected_pairs_{args.pair_count}.json")
+        _, pairs = load_pairs(pairfile)
+        models, seeds = [], []
+        for seed in args.seeds:
+            for ext in (".npz", ".pt"):
+                p = Path(args.model_dir) / f"model_seed{seed}{ext}"
+                if p.exists():
+                    models.append(_load_model(str(p)))
+                    seeds.append(seed)
+                    break
+            else:
+                print(f"[warn] no checkpoint for seed {seed}; skipping")
+        res = cov_analysis(models, seeds, data.x, pairs,
+                           decoder_counts=list(range(1, 11)),
+                           steps=args.steps, num_t=args.num_t)
+        out = plot_dir / f"cov_values_alldec_{args.pair_count}.json"
+        res.save(out)
+        print(f"[ok] wrote {out}")
+        try:
+            from vae_latent_geometry_tpu.viz import plotting
+
+            plotting.plot_cov_curves(
+                res, str(plot_dir / f"cov_plot_{args.pair_count}_alldec.png"))
+        except Exception as ex:
+            print(f"[warn] cov plot failed: {ex}")
+
+
+def cmd_bench(args):
+    import subprocess
+
+    sys.exit(subprocess.call([sys.executable,
+                              str(Path(__file__).parent.parent / "bench.py")]))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vae_latent_geometry_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_common(sp):
+        sp.add_argument("--data-dir", default=None)
+
+    t = sub.add_parser("train", help="train the ensemble VAE")
+    add_common(t)
+    t.add_argument("--latent-dim", type=int, default=2)
+    t.add_argument("--num-decoders", type=int, default=10)
+    t.add_argument("--epochs", type=int, default=200)
+    t.add_argument("--batch-size", type=int, default=64)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--seed", type=int, default=42)
+    t.add_argument("--save-dir", default="experiment")
+    t.set_defaults(fn=cmd_train)
+
+    ts = sub.add_parser("train-single", help="train the legacy single VAE")
+    add_common(ts)
+    ts.add_argument("--epochs", type=int, default=200)
+    ts.add_argument("--batch-size", type=int, default=64)
+    ts.add_argument("--lr", type=float, default=1e-3)
+    ts.add_argument("--seed", type=int, default=12)
+    ts.add_argument("--save-dir", default="src_artifacts")
+    ts.set_defaults(fn=cmd_train_single)
+
+    s = sub.add_parser("select-pairs", help="pick class representatives")
+    add_common(s)
+    s.add_argument("--model", required=True)
+    s.add_argument("--max-labels", type=int, default=10)
+    s.add_argument("--output", default=None)
+    s.set_defaults(fn=cmd_select_pairs)
+
+    i = sub.add_parser("init-splines", help="Dijkstra spline initialization")
+    add_common(i)
+    i.add_argument("--model", required=True)
+    i.add_argument("--pairfile", required=True)
+    i.add_argument("--use-entropy", action="store_true")
+    i.add_argument("--grid", type=int, default=200)
+    i.add_argument("--output", default=None)
+    i.set_defaults(fn=cmd_init_splines)
+
+    o = sub.add_parser("optimize", help="batched geodesic optimization")
+    add_common(o)
+    o.add_argument("--model", required=True)
+    o.add_argument("--splines", default=None)
+    o.add_argument("--init-type", default="entropy",
+                   choices=["entropy", "euclidean"])
+    o.add_argument("--pair-count", type=int, default=10)
+    o.add_argument("--steps", type=int, default=1000)
+    o.add_argument("--lr", type=float, default=1e-3)
+    o.add_argument("--batch-size", type=int, default=200)
+    o.add_argument("--num-t", type=int, default=2000)
+    o.add_argument("--mc-samples", type=int, default=2)
+    o.add_argument("--energy-mode", default="mc",
+                   choices=["mc", "expected", "single", "jvp", "jvp_ensemble"])
+    o.add_argument("--no-euclidean", action="store_true",
+                   help="skip encoder Euclidean distances (no data needed)")
+    o.add_argument("--output", default=None)
+    o.set_defaults(fn=cmd_optimize)
+
+    e = sub.add_parser("eval", help="distance matrix / CoV analysis")
+    add_common(e)
+    e.add_argument("--mode", required=True, choices=["matrix", "cov"])
+    e.add_argument("--len-type", default="geodesic",
+                   choices=["geodesic", "euclidean"])
+    e.add_argument("--init-type", default="euclidean",
+                   choices=["entropy", "euclidean"])
+    e.add_argument("--pair-count", type=int, default=133)
+    e.add_argument("--seed", type=int, default=12)
+    e.add_argument("--seeds", nargs="*", type=int, default=[12, 123])
+    e.add_argument("--splines", default=None)
+    e.add_argument("--pairfile", default=None)
+    e.add_argument("--model-dir", default="experiment")
+    e.add_argument("--steps", type=int, default=300)
+    e.add_argument("--num-t", type=int, default=2000)
+    e.set_defaults(fn=cmd_eval)
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

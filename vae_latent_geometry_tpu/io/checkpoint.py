@@ -49,6 +49,12 @@ def save_pytree(tree: Any, path: str, extra_meta: Optional[dict] = None) -> None
     np.savez(path, __meta__=json.dumps(meta), **leaves)
 
 
+def read_meta(path: str) -> dict:
+    """Read only the metadata of a checkpoint (cheap; no tree template)."""
+    with np.load(path, allow_pickle=False) as f:
+        return json.loads(str(f["__meta__"])) if "__meta__" in f.files else {}
+
+
 def load_pytree(path: str, like: Any) -> Tuple[Any, dict]:
     """Load a pytree saved with :func:`save_pytree` into the structure of
     ``like`` (shapes/keys must match).  Returns (tree, meta)."""

@@ -1,0 +1,113 @@
+"""Sharded execution of the framework's two big workloads.
+
+1. ``sharded_optimize_splines`` — geodesic optimization with the pair axis
+   sharded over ``dp`` and the decoder-ensemble axis over ``ep``.  The jitted
+   scan is *the same program* as the single-device path
+   (``optim/geodesic._optimize_scan``); GSPMD partitions it from the input
+   shardings (pairs never communicate; ep contributions meet in psums
+   inserted at the ensemble reductions).
+2. ``sharded_train_step`` — EVAE training step with the batch dp-sharded and
+   decoders ep-sharded; gradient all-reduce is GSPMD-inserted.
+
+Pairs are padded to a multiple of the dp size with edge replication
+(static shapes; padding is dropped on the way out).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from vae_latent_geometry_tpu.config import GeodesicConfig, ModelConfig
+from vae_latent_geometry_tpu.models import evae as evae_lib
+from vae_latent_geometry_tpu.optim.geodesic import GeodesicResult, _optimize_scan
+from vae_latent_geometry_tpu.parallel.mesh import (
+    named_sharding,
+    pad_to_multiple,
+    replicated,
+)
+
+
+def _shard_decoders(decoders, mesh: Mesh):
+    """Shard the leading (ensemble) axis of every decoder leaf over 'ep'."""
+    ep = mesh.shape["ep"]
+    m_dec = jax.tree_util.tree_leaves(decoders)[0].shape[0]
+    spec = named_sharding(mesh, "ep") if m_dec % ep == 0 else replicated(mesh)
+
+    def put(x):
+        sh = spec if x.shape[0] % ep == 0 else replicated(mesh)
+        return jax.device_put(jnp.asarray(x), sh)
+
+    return jax.tree_util.tree_map(put, decoders)
+
+
+def sharded_optimize_splines(
+    decoders, omega0, a, b, basis, cfg: GeodesicConfig, mesh: Mesh,
+    key=None, num_active=None,
+) -> GeodesicResult:
+    """Drop-in sharded version of ``optim.geodesic.optimize_splines``."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    dp = mesh.shape["dp"]
+    omega0, n = pad_to_multiple(np.asarray(omega0), dp)
+    a, _ = pad_to_multiple(np.asarray(a), dp)
+    b, _ = pad_to_multiple(np.asarray(b), dp)
+    if num_active is not None:
+        num_active, _ = pad_to_multiple(np.asarray(num_active), dp)
+        num_active = jax.device_put(jnp.asarray(num_active),
+                                    named_sharding(mesh, "dp"))
+
+    batch_sh = named_sharding(mesh, "dp")
+    omega0 = jax.device_put(jnp.asarray(omega0), batch_sh)
+    a = jax.device_put(jnp.asarray(a), batch_sh)
+    b = jax.device_put(jnp.asarray(b), batch_sh)
+    decoders = _shard_decoders(decoders, mesh)
+    basis = jax.device_put(jnp.asarray(basis), replicated(mesh))
+
+    with mesh:
+        omega, e_final, _ = _optimize_scan(
+            decoders, omega0, a, b, basis, key, cfg, False, num_active
+        )
+    omega = np.asarray(omega)[:n]
+    e_final = np.asarray(e_final)[:n]
+    return GeodesicResult(omega=jnp.asarray(omega), energy=jnp.asarray(e_final),
+                          lengths=jnp.sqrt(jnp.asarray(e_final)))
+
+
+@partial(jax.jit, static_argnames=("model_cfg", "opt_name"), donate_argnums=(0, 1))
+def _train_step(params, opt_state, key, x, model_cfg: ModelConfig,
+                opt_name: str = "adam", lr: float = 1e-3):
+    opt = getattr(optax, opt_name)(lr)
+    loss, grads = jax.value_and_grad(
+        lambda p: evae_lib.neg_elbo(p, key, x, model_cfg)
+    )(params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def sharded_train_step(params, opt_state, key, batch, mesh: Mesh,
+                       model_cfg: ModelConfig = ModelConfig(), lr: float = 1e-3):
+    """One dp x ep-sharded EVAE train step.
+
+    Batch rows shard over 'dp'; the decoder stack shards over 'ep'; the
+    encoder and all optimizer state stay replicated.  The gradient
+    all-reduce over dp and the ensemble gather for the per-step random
+    decoder are inserted by GSPMD.
+    """
+    batch = jax.device_put(jnp.asarray(batch), named_sharding(mesh, "dp"))
+    dec_sharded = _shard_decoders(params.decoders, mesh)
+    params = evae_lib.EVAEParams(
+        encoder=jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)),
+            params.encoder),
+        decoders=dec_sharded,
+    )
+    with mesh:
+        return _train_step(params, opt_state, key, batch, model_cfg, "adam", lr)
