@@ -44,9 +44,22 @@ def _problem():
     return omega, a, b
 
 
-def bench_jax() -> float:
+def _sync(x) -> float:
+    """Force device completion.  NOTE: on the tunneled 'axon' TPU platform
+    ``block_until_ready`` is effectively a no-op (fully async dispatch), so
+    synchronization must materialize a value on host."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def bench_jax(mode: str = "mc") -> float:
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig, ModelConfig
     from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
@@ -65,16 +78,15 @@ def bench_jax() -> float:
     basis, _ = nullspace_basis(4)
     cfg = GeodesicConfig(
         steps=STEPS_MEASURE, lr=1e-3,
-        energy=EnergyConfig(num_t=T, mode="mc", mc_samples=MC),
+        energy=EnergyConfig(num_t=T, mode=mode, mc_samples=MC),
     )
     args = (decoders, jnp.asarray(omega), jnp.asarray(a), jnp.asarray(b),
             jnp.asarray(basis), jax.random.PRNGKey(0), cfg)
-    # compile + warmup
-    out = _optimize_scan(*args)
-    jax.block_until_ready(out)
+    out = _optimize_scan(*args)  # compile + warmup
+    _sync(out[1])
     t0 = time.perf_counter()
     out = _optimize_scan(*args)
-    jax.block_until_ready(out)
+    _sync(out[1])
     dt = time.perf_counter() - t0
     return STEPS_MEASURE / dt
 

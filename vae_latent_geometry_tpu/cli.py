@@ -258,6 +258,59 @@ def cmd_eval(args):
             print(f"[warn] cov plot failed: {ex}")
 
 
+def cmd_plot(args):
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.io.artifacts import load_spline_batch
+    from vae_latent_geometry_tpu.models.evae import encode
+    from vae_latent_geometry_tpu.viz import plotting
+
+    data = _load_data(args)
+    params = _load_model(args.model)
+    latents = np.asarray(encode(params, jnp.asarray(data.x))[0])
+    out = args.output or f"experiment/plots/{args.kind}.png"
+    if args.kind == "density":
+        art = load_spline_batch(args.splines)
+        plotting.plot_latent_density_with_splines(
+            latents, data.labels, art, out, res=args.resolution)
+    elif args.kind == "uncertainty":
+        plotting.plot_uncertainty_map(params, latents, out,
+                                      colors=data.colors,
+                                      resolution=args.resolution)
+    elif args.kind == "latents":
+        from vae_latent_geometry_tpu.pipeline.select_pairs import load_pairs
+
+        reps, _ = load_pairs(args.pairfile)
+        plotting.plot_latents_with_selected(latents, reps, out)
+    elif args.kind == "splines":
+        art = load_spline_batch(args.splines)
+        if art.omega_optimized is not None:
+            plotting.plot_initial_and_optimized_splines(latents, art, out)
+        else:
+            plotting.plot_initialized_splines(latents, art, out)
+    print(f"[ok] wrote {out}")
+
+
+def cmd_stability(args):
+    from vae_latent_geometry_tpu.pipeline.stability import (
+        check_pair_determinism,
+        frobenius_from_json,
+    )
+
+    if args.kind == "frobenius":
+        res = frobenius_from_json(args.a, args.b)
+        print(json.dumps({
+            "common": len(res.common_labels),
+            "only_in_a": res.only_in_a, "only_in_b": res.only_in_b,
+            "frob_a": res.frob_a, "frob_b": res.frob_b,
+            "frob_diff": res.frob_diff, "rel_diff": res.rel_diff,
+        }, indent=2))
+    elif args.kind == "pairs":
+        same = check_pair_determinism(args.a, args.b)
+        print(f"pair files {'MATCH' if same else 'DIFFER'}")
+        sys.exit(0 if same else 1)
+
+
 def cmd_bench(args):
     import subprocess
 
@@ -343,6 +396,23 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--steps", type=int, default=300)
     e.add_argument("--num-t", type=int, default=2000)
     e.set_defaults(fn=cmd_eval)
+
+    pl_ = sub.add_parser("plot", help="latent-space visualizations")
+    add_common(pl_)
+    pl_.add_argument("kind", choices=["density", "uncertainty", "latents",
+                                      "splines"])
+    pl_.add_argument("--model", required=True)
+    pl_.add_argument("--splines", default=None)
+    pl_.add_argument("--pairfile", default=None)
+    pl_.add_argument("--resolution", type=int, default=100)
+    pl_.add_argument("--output", default=None)
+    pl_.set_defaults(fn=cmd_plot)
+
+    st = sub.add_parser("stability", help="cross-seed stability checks")
+    st.add_argument("kind", choices=["frobenius", "pairs"])
+    st.add_argument("--a", required=True)
+    st.add_argument("--b", required=True)
+    st.set_defaults(fn=cmd_stability)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=cmd_bench)

@@ -1,0 +1,97 @@
+"""Cross-seed stability utilities.
+
+Covers the reference's ``src/old_`` analysis layer:
+
+- ``frobenius_comparison`` (``src/old_/frobenius.py``): align two seeds'
+  distance matrices on their common class labels, report Frobenius norms and
+  the norm of the difference.
+- ``check_pair_determinism`` (``src/old_/stability.py:95-97``): assert that
+  two pair files select identical representative indices/pairs (the pair
+  pipeline is deterministic given latents + labels).
+- ``encoder_agreement``: max deviation between two models' encoder means on
+  shared data (the reference's commented-out encoder-weight stability check,
+  done at the function level instead of raw weights).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+
+@dataclass
+class FrobeniusResult:
+    common_labels: list
+    only_in_a: list
+    only_in_b: list
+    frob_a: float
+    frob_b: float
+    frob_diff: float
+    rel_diff: float
+
+
+def _align(labels_a: Sequence[str], labels_b: Sequence[str]):
+    set_a, set_b = set(labels_a), set(labels_b)
+    common = sorted(set_a & set_b)
+    idx_a = [list(labels_a).index(c) for c in common]
+    idx_b = [list(labels_b).index(c) for c in common]
+    return common, idx_a, idx_b, sorted(set_a - set_b), sorted(set_b - set_a)
+
+
+def frobenius_comparison(mat_a: np.ndarray, labels_a: Sequence[str],
+                         mat_b: np.ndarray, labels_b: Sequence[str],
+                         ignore_nan: bool = True) -> FrobeniusResult:
+    """Compare two distance matrices on their common labels."""
+    common, ia, ib, only_a, only_b = _align(labels_a, labels_b)
+    A = np.asarray(mat_a)[np.ix_(ia, ia)].astype(np.float64)
+    B = np.asarray(mat_b)[np.ix_(ib, ib)].astype(np.float64)
+    if ignore_nan:
+        mask = np.isfinite(A) & np.isfinite(B)
+        A = np.where(mask, A, 0.0)
+        B = np.where(mask, B, 0.0)
+    fa = float(np.linalg.norm(A))
+    fb = float(np.linalg.norm(B))
+    fd = float(np.linalg.norm(A - B))
+    return FrobeniusResult(
+        common_labels=common, only_in_a=only_a, only_in_b=only_b,
+        frob_a=fa, frob_b=fb, frob_diff=fd,
+        rel_diff=fd / max(0.5 * (fa + fb), 1e-30),
+    )
+
+
+def frobenius_from_json(path_a: str, path_b: str) -> FrobeniusResult:
+    """Compare two distance-matrix JSON artifacts
+    ({seed, cluster_ids, distance_matrix} — the reference's
+    ``src/single_decoder/density_batched.py:135-142`` schema)."""
+    da = json.loads(Path(path_a).read_text())
+    db = json.loads(Path(path_b).read_text())
+
+    def mat(d):
+        return np.array([[np.nan if v is None else v for v in row]
+                         for row in d["distance_matrix"]])
+
+    return frobenius_comparison(mat(da), da["cluster_ids"],
+                                mat(db), db["cluster_ids"])
+
+
+def check_pair_determinism(path_a: str, path_b: str) -> bool:
+    """True when two pair files agree exactly (representatives + pairs)."""
+    da = json.loads(Path(path_a).read_text())
+    db = json.loads(Path(path_b).read_text())
+    return (da["representatives"] == db["representatives"]
+            and [list(p) for p in da["pairs"]] == [list(p) for p in db["pairs"]])
+
+
+def encoder_agreement(params_a, params_b, data: np.ndarray) -> float:
+    """Max abs deviation between two models' encoder means over the data."""
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.models.evae import encode
+
+    za, _ = encode(params_a, jnp.asarray(data))
+    zb, _ = encode(params_b, jnp.asarray(data))
+    return float(jnp.max(jnp.abs(za - zb)))
