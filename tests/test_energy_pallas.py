@@ -75,3 +75,31 @@ def test_bfloat16_mode_close(setup):
     e_ref = np.asarray(E.energy_expected(decs, gamma))
     e_bf = np.asarray(energy_expected_fused(decs, gamma, "bfloat16"))
     np.testing.assert_allclose(e_bf, e_ref, rtol=3e-2)
+
+
+def test_fused_mode_in_optimizer(rng):
+    """The optimizer runs end-to-end with the fused energy mode and matches
+    the XLA expected mode."""
+    from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
+
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 12, (16,))
+        for k in jax.random.split(jax.random.PRNGKey(5), 3)
+    ])
+    B = 3
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    basis, _ = nullspace_basis(4)
+    omega0 = jnp.zeros((B, 5, 2))
+    cfg_f = GeodesicConfig(steps=40, lr=1e-2,
+                           energy=EnergyConfig(num_t=32, mode="expected_fused"))
+    cfg_x = GeodesicConfig(steps=40, lr=1e-2,
+                           energy=EnergyConfig(num_t=32, mode="expected"))
+    rf = optimize_splines(decs, omega0, a, b, basis, cfg_f)
+    rx = optimize_splines(decs, omega0, a, b, basis, cfg_x)
+    np.testing.assert_allclose(np.asarray(rf.energy), np.asarray(rx.energy),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rf.omega), np.asarray(rx.omega),
+                               rtol=1e-3, atol=1e-5)

@@ -53,6 +53,13 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
                                     num_active)
     if mode == "expected":
         return energy_lib.energy_expected(decoders, gamma, num_active)
+    if mode in ("expected_fused", "expected_fused_bf16"):
+        from vae_latent_geometry_tpu.ops.energy_pallas import (
+            energy_expected_fused,
+        )
+
+        precision = "bfloat16" if mode.endswith("bf16") else "float32"
+        return energy_expected_fused(decoders, gamma, precision)
     if mode == "jvp":
         return energy_lib.energy_jvp(decoders, gamma, gamma_dot)
     if mode == "jvp_ensemble":
