@@ -1,0 +1,106 @@
+"""Legacy single-decoder pipeline: mean head, optimize stage, golden parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference
+from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
+from vae_latent_geometry_tpu.models import nets
+from vae_latent_geometry_tpu.models.vae import (
+    LEGACY_CONFIG,
+    VAEParams,
+    mean_decoder,
+    vae_init,
+)
+
+
+def test_mean_decoder_matches_full(rng):
+    params = vae_init(jax.random.PRNGKey(0))
+    z = jnp.asarray(rng.normal(size=(16, 2)), jnp.float32)
+    mean_full, _ = nets.decoder_apply_full(params.decoder, z)
+    mean_only = nets.decoder_apply(mean_decoder(params.decoder), z)
+    np.testing.assert_allclose(np.asarray(mean_only), np.asarray(mean_full),
+                               rtol=1e-6)
+
+
+def test_vae_elbo_and_sample(rng):
+    from vae_latent_geometry_tpu.models.vae import elbo, sample
+
+    params = vae_init(jax.random.PRNGKey(1))
+    x = jnp.asarray(rng.normal(size=(8, 50)), jnp.float32)
+    val, recon, kl = elbo(params, jax.random.PRNGKey(2), x, beta=0.5,
+                          return_parts=True)
+    assert np.isfinite(float(val)) and np.isfinite(float(recon))
+    assert float(val) == pytest.approx(float(recon) - 0.5 * float(kl), rel=1e-5)
+    s = sample(params, jax.random.PRNGKey(3), n=4)
+    assert s.shape == (4, 50)
+
+
+def test_optimize_stage_single_mode(rng):
+    """optimize_spline_batch with a VAEParams model: single-decoder energy +
+    arc-length geodesic lengths."""
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.io.artifacts import SplineBatchArtifact
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    params = vae_init(jax.random.PRNGKey(4))
+    basis, _ = nullspace_basis(4)
+    P = 4
+    art = SplineBatchArtifact(
+        a=rng.normal(size=(P, 2)).astype(np.float32),
+        b=rng.normal(size=(P, 2)).astype(np.float32),
+        omega_init=np.zeros((P, 5, 2), np.float32),
+        basis=basis, n_poly=4,
+        pair_indices=np.arange(2 * P).reshape(P, 2),
+        valid=np.ones(P, bool), pair_labels=[["a", "b"]] * P,
+        representatives=[],
+    )
+    cfg = GeodesicConfig(steps=30, batch_size=4,
+                         energy=EnergyConfig(num_t=64, mode="single"))
+    out = optimize_spline_batch(params, art, cfg=cfg, log_every_chunk=False)
+    assert np.isfinite(out.geodesic_length).all()
+    assert out.geodesic_length.min() > 0
+
+
+@requires_reference
+def test_golden_single_decoder_optimization():
+    """Optimize the reference's single-decoder init splines with our
+    pipeline; resulting arc lengths must track the stored
+    ``length_geodesic`` values (same init, same decoder, both converged)."""
+    from vae_latent_geometry_tpu.geometry import energy as E
+    from vae_latent_geometry_tpu.geometry.spline import (
+        design_matrix,
+        eval_spline_design,
+    )
+    from vae_latent_geometry_tpu.models.torch_import import (
+        load_single_vae_checkpoint,
+        load_spline_blob,
+    )
+    from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
+
+    raw = load_single_vae_checkpoint(
+        "/root/reference/src/artifacts/vae_best_seed12.pth")
+    decoder = mean_decoder(raw["decoder"])
+    blob = load_spline_blob(
+        "/root/reference/src/artifacts/spline_batch_optimized_batched_seed12.pt")
+    data = blob["spline_data"][:40]
+    a = jnp.stack([jnp.asarray(d["a"]) for d in data])
+    b = jnp.stack([jnp.asarray(d["b"]) for d in data])
+    omega0 = jnp.stack([jnp.asarray(d["omega_init"]) for d in data])
+    basis = np.asarray(data[0]["basis"])
+    stored = np.array([d["length_geodesic"] for d in data])
+
+    cfg = GeodesicConfig(steps=250, lr=1e-2,
+                         energy=EnergyConfig(num_t=128, mode="single"))
+    res = optimize_splines(decoder, omega0, a, b, basis, cfg)
+    t = jnp.linspace(0.0, 1.0, 2000)
+    phi = design_matrix(t, jnp.asarray(basis), 4)
+    gamma = eval_spline_design(res.omega, a, b, phi, t)
+    ours = np.asarray(E.geodesic_lengths(decoder, gamma))
+    rel = np.abs(ours - stored) / stored
+    assert np.median(rel) < 0.02, f"median rel {np.median(rel):.4f}"
+    assert np.corrcoef(ours, stored)[0, 1] > 0.99

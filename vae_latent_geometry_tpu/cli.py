@@ -36,22 +36,57 @@ def _load_data(args):
 
 
 def _load_model(path: str):
-    """Load an EVAE from our .npz checkpoint or a reference .pt state dict."""
+    """Load a model from our .npz checkpoint or a reference .pt/.pth state
+    dict.  Auto-detects ensemble (EVAE) vs legacy single VAE."""
     if str(path).endswith(".pt") or str(path).endswith(".pth"):
-        from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
+        from vae_latent_geometry_tpu.models.torch_import import (
+            load_evae_checkpoint,
+            load_single_vae_checkpoint,
+        )
 
-        return load_evae_checkpoint(path)
+        try:
+            return load_evae_checkpoint(path)
+        except KeyError:
+            from vae_latent_geometry_tpu.models.vae import VAEParams
+
+            raw = load_single_vae_checkpoint(path)
+            return VAEParams(encoder=raw["encoder"], decoder=raw["decoder"])
     import jax
 
     from vae_latent_geometry_tpu.config import ModelConfig, from_dict
     from vae_latent_geometry_tpu.io.checkpoint import load_pytree, read_meta
-    from vae_latent_geometry_tpu.models.evae import evae_init
 
     meta = read_meta(path)
     mcfg = from_dict(ModelConfig, meta.get("model_config"))
-    template = evae_init(jax.random.PRNGKey(0), mcfg)
+    if mcfg.heteroscedastic:
+        from vae_latent_geometry_tpu.models.vae import vae_init
+
+        template = vae_init(jax.random.PRNGKey(0), mcfg)
+    else:
+        from vae_latent_geometry_tpu.models.evae import evae_init
+
+        template = evae_init(jax.random.PRNGKey(0), mcfg)
     params, _ = load_pytree(path, template)
     return params
+
+
+def _encode(params, x):
+    """Latent means for either model family."""
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.models.evae import EVAEParams
+    from vae_latent_geometry_tpu.models.evae import encode as evae_encode
+    from vae_latent_geometry_tpu.models.vae import encode as vae_encode
+
+    if isinstance(params, EVAEParams):
+        return np.asarray(evae_encode(params, jnp.asarray(x))[0])
+    return np.asarray(vae_encode(params, jnp.asarray(x))[0])
+
+
+def _decoders_of(params):
+    from vae_latent_geometry_tpu.models.evae import EVAEParams
+
+    return params.decoders if isinstance(params, EVAEParams) else None
 
 
 def cmd_train(args):
@@ -98,15 +133,17 @@ def cmd_train_single(args):
     res = train_single_vae(data.x, cfg)
     out = Path(args.save_dir)
     out.mkdir(parents=True, exist_ok=True)
+    from vae_latent_geometry_tpu.config import to_dict
+    from vae_latent_geometry_tpu.models.vae import LEGACY_CONFIG
+
     ckpt = out / f"vae_best_seed{args.seed}.npz"
-    save_pytree(res.best_params, str(ckpt), extra_meta={"seed": args.seed})
+    save_pytree(res.best_params, str(ckpt),
+                extra_meta={"seed": args.seed,
+                            "model_config": to_dict(LEGACY_CONFIG)})
     print(f"[ok] saved {ckpt} (best val {res.best_val_loss:.4f})")
 
 
 def cmd_select_pairs(args):
-    import jax.numpy as jnp
-
-    from vae_latent_geometry_tpu.models.evae import encode
     from vae_latent_geometry_tpu.pipeline.select_pairs import (
         save_pairs,
         select_representatives,
@@ -114,7 +151,7 @@ def cmd_select_pairs(args):
 
     data = _load_data(args)
     params = _load_model(args.model)
-    latents = np.asarray(encode(params, jnp.asarray(data.x))[0])
+    latents = _encode(params, data.x)
     reps = select_representatives(latents, data.labels, args.max_labels)
     out = Path(args.output or
                f"experiment/pairs/selected_pairs_{args.max_labels}.json")
@@ -123,24 +160,21 @@ def cmd_select_pairs(args):
 
 
 def cmd_init_splines(args):
-    import jax.numpy as jnp
-
     from vae_latent_geometry_tpu.config import InitConfig
     from vae_latent_geometry_tpu.io.artifacts import (
         SplineBatchArtifact,
         save_spline_batch,
     )
-    from vae_latent_geometry_tpu.models.evae import encode
     from vae_latent_geometry_tpu.pipeline.init_splines import initialize_splines
     from vae_latent_geometry_tpu.pipeline.select_pairs import load_pairs
 
     data = _load_data(args)
     params = _load_model(args.model)
-    latents = np.asarray(encode(params, jnp.asarray(data.x))[0])
+    latents = _encode(params, data.x)
     reps, pairs = load_pairs(args.pairfile)
     cfg = InitConfig(grid_points_per_axis=args.grid,
                      use_entropy=args.use_entropy)
-    init = initialize_splines(latents, pairs, decoders=params.decoders,
+    init = initialize_splines(latents, pairs, decoders=_decoders_of(params),
                               cfg=cfg)
     label_of = {r["index"]: r["label"] for r in reps}
     art = SplineBatchArtifact(
@@ -259,15 +293,12 @@ def cmd_eval(args):
 
 
 def cmd_plot(args):
-    import jax.numpy as jnp
-
     from vae_latent_geometry_tpu.io.artifacts import load_spline_batch
-    from vae_latent_geometry_tpu.models.evae import encode
     from vae_latent_geometry_tpu.viz import plotting
 
     data = _load_data(args)
     params = _load_model(args.model)
-    latents = np.asarray(encode(params, jnp.asarray(data.x))[0])
+    latents = _encode(params, data.x)
     out = args.output or f"experiment/plots/{args.kind}.png"
     if args.kind == "density":
         art = load_spline_batch(args.splines)

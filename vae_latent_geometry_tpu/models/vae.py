@@ -83,3 +83,16 @@ def sample(params: VAEParams, key, n: int = 1, cfg: ModelConfig = LEGACY_CONFIG)
     z = jax.random.normal(key, (n, cfg.latent_dim))
     mean, _ = decode(params.decoder, z, cfg)
     return mean
+
+
+def mean_decoder(decoder_params):
+    """Slice a heteroscedastic decoder down to its mean head.
+
+    The final layer emits [mean, log_std] concatenated (torch ``chunk(2)``
+    semantics), so keeping the first half of the last layer's columns yields
+    an exact mean-only decoder usable with every energy functional."""
+    layers = [dict(l) for l in decoder_params["layers"]]
+    w = layers[-1]["w"]
+    out = w.shape[1] // 2
+    layers[-1] = {"w": w[:, :out], "b": layers[-1]["b"][:out]}
+    return {"layers": layers}

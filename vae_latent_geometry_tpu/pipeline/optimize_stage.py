@@ -30,7 +30,7 @@ from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
 
 
 def optimize_spline_batch(
-    params: evae_lib.EVAEParams,
+    params,
     art: SplineBatchArtifact,
     data: Optional[np.ndarray] = None,
     cfg: GeodesicConfig = GeodesicConfig(),
@@ -40,6 +40,11 @@ def optimize_spline_batch(
 ) -> SplineBatchArtifact:
     """Optimize all splines in an artifact; returns the completed artifact.
 
+    params: ``EVAEParams`` for ensemble energy modes, or a legacy
+    ``VAEParams`` / bare decoder pytree for mode='single' (geodesic length is
+    then the data-space arc length sum ||dx||, reference
+    ``src/single_decoder/optimize_energy_batched.py:42-49``, instead of the
+    ensemble's sqrt(energy), ``src/optimize.py:168``).
     data: original dataset for the latent Euclidean distances
     (reference ``src/optimize.py:170-176``); skipped when None (e.g. the
     endpoints already are encoder latents).
@@ -48,6 +53,19 @@ def optimize_spline_batch(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    single = cfg.energy.mode in ("single", "jvp")
+    if single:
+        from vae_latent_geometry_tpu.models import vae as vae_lib
+
+        if isinstance(params, vae_lib.VAEParams):
+            energy_params = vae_lib.mean_decoder(params.decoder)
+        elif isinstance(params, evae_lib.EVAEParams):
+            energy_params = jax.tree_util.tree_map(
+                lambda x: x[0], params.decoders)
+        else:  # bare mean-only decoder pytree
+            energy_params = params
+    else:
+        energy_params = params.decoders
     P = len(art)
     omega_opt = np.array(art.omega_init, np.float32, copy=True)
     lengths = np.full(P, np.nan, np.float32)
@@ -63,8 +81,13 @@ def optimize_spline_batch(
                 print(f"[resume] {done.sum()}/{P} splines already optimized")
 
     eucl = None
-    if data is not None:
-        z_mean, _ = evae_lib.encode(params, jnp.asarray(data))
+    if data is not None and hasattr(params, "encoder"):
+        if single and not isinstance(params, evae_lib.EVAEParams):
+            from vae_latent_geometry_tpu.models import vae as vae_lib
+
+            z_mean, _ = vae_lib.encode(params, jnp.asarray(data))
+        else:
+            z_mean, _ = evae_lib.encode(params, jnp.asarray(data))
         za = np.asarray(z_mean)[art.pair_indices[:, 0]]
         zb = np.asarray(z_mean)[art.pair_indices[:, 1]]
         eucl = np.linalg.norm(za - zb, axis=1).astype(np.float32)
@@ -75,13 +98,28 @@ def optimize_spline_batch(
         if done[sl].all():
             continue
         res = optimize_splines(
-            params.decoders,
+            energy_params,
             jnp.asarray(art.omega_init[sl]),
             jnp.asarray(art.a[sl]), jnp.asarray(art.b[sl]),
             art.basis, cfg, key=jax.random.fold_in(key, start),
         )
         omega_opt[sl] = np.asarray(res.omega)
-        lengths[sl] = np.asarray(res.lengths)
+        if single:
+            # legacy semantics: data-space arc length, not sqrt(energy)
+            from vae_latent_geometry_tpu.geometry import energy as energy_lib
+            from vae_latent_geometry_tpu.geometry.spline import (
+                design_matrix,
+                eval_spline_design,
+            )
+
+            t = jnp.linspace(0.0, 1.0, cfg.energy.num_t)
+            phi = design_matrix(t, jnp.asarray(art.basis), art.n_poly)
+            gamma = eval_spline_design(res.omega, jnp.asarray(art.a[sl]),
+                                       jnp.asarray(art.b[sl]), phi, t)
+            lengths[sl] = np.asarray(
+                energy_lib.geodesic_lengths(energy_params, gamma))
+        else:
+            lengths[sl] = np.asarray(res.lengths)
         done[sl] = True
         if log_every_chunk:
             print(f"[chunk {start // bs + 1}/{(P - 1) // bs + 1}] "
