@@ -193,3 +193,49 @@ def test_golden_ensemble_energy_statistical():
     lengths = np.sqrt(exp_energy)
     # statistical tolerance: one MC draw of a 1999-segment sum
     np.testing.assert_allclose(lengths, stored, rtol=0.05)
+
+
+def test_mc_scan_matches_mc_statistically(rng):
+    """Chunked-scan MC has the same expectation as the plain MC estimator
+    (different random streams; compare means over draws)."""
+    from vae_latent_geometry_tpu.models import nets
+    from vae_latent_geometry_tpu.models.evae import stack_decoders
+
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 8, (16,))
+        for k in jax.random.split(jax.random.PRNGKey(0), 4)
+    ])
+    gamma = jnp.asarray(rng.normal(size=(60, 5, 2)), jnp.float32)
+    exp = np.asarray(E.energy_expected(decs, gamma))
+    draws = [np.asarray(E.energy_mc_scan(decs, gamma, jax.random.PRNGKey(i),
+                                         mc_samples=1, chunk=12))
+             for i in range(150)]
+    np.testing.assert_allclose(np.mean(draws, axis=0), exp, rtol=0.05)
+
+
+def test_mc_scan_single_member_exact(rng):
+    """With one decoder the sampling is deterministic: scan == plain == single."""
+    from vae_latent_geometry_tpu.models import nets
+    from vae_latent_geometry_tpu.models.evae import stack_decoders
+
+    dec = nets.decoder_init(jax.random.PRNGKey(7), 2, 9, (8,))
+    decs = stack_decoders([dec])
+    gamma = jnp.asarray(rng.normal(size=(48, 3, 2)), jnp.float32)
+    e_scan = E.energy_mc_scan(decs, gamma, jax.random.PRNGKey(0), chunk=16)
+    e_single = E.energy_single(dec, gamma)
+    np.testing.assert_allclose(np.asarray(e_scan), np.asarray(e_single),
+                               rtol=1e-5)
+
+
+def test_mc_scan_grad_finite(rng):
+    from vae_latent_geometry_tpu.models import nets
+    from vae_latent_geometry_tpu.models.evae import stack_decoders
+
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 8, (16,))
+        for k in jax.random.split(jax.random.PRNGKey(1), 3)
+    ])
+    gamma = jnp.asarray(rng.normal(size=(40, 4, 2)), jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(
+        E.energy_mc_scan(decs, x, jax.random.PRNGKey(0), chunk=8)))(gamma)
+    assert np.isfinite(np.asarray(g)).all()

@@ -103,6 +103,68 @@ def energy_mc(decoders, gamma, key, mc_samples: int = 2, num_active=None):
     return jnp.mean(energies, axis=0)
 
 
+def energy_mc_scan(decoders, gamma, key, mc_samples: int = 2,
+                   num_active=None, chunk: int = 125):
+    """Memory-flat MC estimator: identical distribution to :func:`energy_mc`
+    but streams the T axis in chunks with a one-row carry, so the
+    (M_dec, T, B, X) decoded tensor never materializes (the blockwise
+    analogue of chunked attention; working set is (M_dec, chunk, B, X)).
+
+    The random stream differs from :func:`energy_mc` (per-chunk key folds);
+    both match the reference's estimator in distribution only — torch's
+    global-RNG draws are not reproducible in JAX anyway (SURVEY §7).
+    """
+    T, B, D = gamma.shape
+    m_dec = jax.tree_util.tree_leaves(decoders)[0].shape[0]
+    maxval = (jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
+              if num_active is not None else
+              jnp.full((B,), m_dec, jnp.int32))
+    # largest divisor of T <= requested chunk; degenerate cases fall back
+    chunk = max((c for c in range(1, min(chunk, T) + 1) if T % c == 0),
+                default=1)
+    if chunk <= 1:
+        return energy_mc(decoders, gamma, key, mc_samples, num_active)
+    n_chunks = T // chunk
+    gamma_chunks = gamma.reshape(n_chunks, chunk, B, D)
+
+    def body(carry, inp):
+        prev_x, acc, valid_prev = carry       # prev_x: (M, B, X)
+        gc, ck = inp
+        xc = decode_all(decoders, gc)          # (M, chunk, B, X)
+        x_ext = jnp.concatenate([prev_x[:, None], xc], axis=1)  # (M, c+1, B, X)
+
+        def one_sample(k):
+            k1, k2 = jax.random.split(k)
+            d1 = jax.random.randint(k1, (chunk, B), 0, maxval)
+            d2 = jax.random.randint(k2, (chunk, B), 0, maxval)
+            oh1 = jax.nn.one_hot(d1, m_dec, dtype=xc.dtype)
+            oh2 = jax.nn.one_hot(d2, m_dec, dtype=xc.dtype)
+            x1 = jnp.einsum("tbm,mtbx->tbx", oh1, x_ext[:, :-1])
+            x2 = jnp.einsum("tbm,mtbx->tbx", oh2, x_ext[:, 1:])
+            d = x2 - x1
+            seg = jnp.sum(d * d, axis=2)       # (chunk, B)
+            # first segment invalid on the very first chunk
+            w = jnp.concatenate([valid_prev[None], jnp.ones((chunk - 1, 1))])
+            return jnp.sum(seg * w, axis=0)
+
+        e = jnp.mean(jax.vmap(one_sample)(jax.random.split(ck, mc_samples)),
+                     axis=0)
+        return (xc[:, -1], acc + e, jnp.ones((1,))), None
+
+    body = jax.checkpoint(body)
+    prev0 = jnp.zeros((m_dec, B, _out_dim(decoders)), gamma.dtype)
+    keys = jax.random.split(key, n_chunks)
+    (_, energy, _), _ = jax.lax.scan(
+        body, (prev0, jnp.zeros((B,), gamma.dtype), jnp.zeros((1,))),
+        (gamma_chunks, keys),
+    )
+    return energy
+
+
+def _out_dim(decoders) -> int:
+    return decoders["layers"][-1]["w"].shape[-1]
+
+
 def energy_expected(decoders, gamma, num_active=None):
     """Closed-form expectation of :func:`energy_mc` over decoder draws.
 
