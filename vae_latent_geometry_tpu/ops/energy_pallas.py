@@ -76,6 +76,9 @@ def _decode_rows(g2, ws, bs, m, dtype):
 
 
 def _fwd_kernel(gamma_ref, *refs, T, B, D, X, M, Tc, n_layers, dtype):
+    # gamma_ref is (T, B*D): the trailing curve dimension D (typically 2)
+    # is folded into the lane axis to avoid the 64x lane-padding a (..., 2)
+    # VMEM window would incur.
     w_refs = refs[:n_layers]
     b_refs = refs[n_layers:2 * n_layers]
     out_ref = refs[2 * n_layers]
@@ -94,7 +97,7 @@ def _fwd_kernel(gamma_ref, *refs, T, B, D, X, M, Tc, n_layers, dtype):
     sq_ext[0, :] = jnp.zeros((B,), jnp.float32)
 
     def body(c, _):
-        g = gamma_ref[pl.ds(c * Tc, Tc), :, :]          # (Tc, B, D)
+        g = gamma_ref[pl.ds(c * Tc, Tc), :]             # (Tc, B*D)
         g2 = g.reshape(Tc * B, D)
         xbar = jnp.zeros((Tc * B, X), jnp.float32)
         sq = jnp.zeros((Tc * B, 1), jnp.float32)
@@ -137,7 +140,7 @@ def _bwd_kernel(gamma_pad_ref, ct_ref, *refs, T, B, D, X, M, Tc, n_layers,
     ct = ct_ref[0, :]                                    # (B,)
 
     def body(c, _):
-        halo = gamma_pad_ref[pl.ds(c * Tc, Tc + 2), :, :]  # (Tc+2, B, D)
+        halo = gamma_pad_ref[pl.ds(c * Tc, Tc + 2), :]     # (Tc+2, B*D)
         halo2 = halo.reshape((Tc + 2) * B, D)
         # pass 1: ensemble mean over the halo rows
         xbar = jnp.zeros(((Tc + 2) * B, X), jnp.float32)
@@ -154,7 +157,7 @@ def _bwd_kernel(gamma_pad_ref, ct_ref, *refs, T, B, D, X, M, Tc, n_layers,
         right = xbar[2:] * has_right[:, :, None]         # xbar_{t+1}
         scale = (2.0 * inv_m) * ct[None, :, None]        # (1, B, 1)
 
-        g2 = halo[1:Tc + 1].reshape(Tc * B, D)
+        g2 = halo[1:Tc + 1, :].reshape(Tc * B, D)
         dg = jnp.zeros((Tc * B, D), jnp.float32)
         for m in range(M):
             # recompute forward activations for this decoder
@@ -178,7 +181,7 @@ def _bwd_kernel(gamma_pad_ref, ct_ref, *refs, T, B, D, X, M, Tc, n_layers,
                 if i > 0:
                     dh = dh * (acts[i - 1] > 0.0)
             dg = dg + dh
-        dgamma_ref[pl.ds(c * Tc, Tc), :, :] = dg.reshape(Tc, B, D)
+        dgamma_ref[pl.ds(c * Tc, Tc), :] = dg.reshape(Tc, B * D)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -205,7 +208,7 @@ def _build_bwd(T, B, D, X, M, Tc, n_layers, dtype, interpret):
                                n_layers=n_layers, dtype=dtype)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, B, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, B * D), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + 2 * n_layers),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -244,7 +247,7 @@ def _fwd_impl(decoders, gamma, precision):
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     fwd = _build_fwd(T, B, D, X, M, Tc, len(ws), dtype,
                      interpret=not _is_tpu())
-    out = fwd(gamma, *ws, *bs)
+    out = fwd(gamma.reshape(T, B * D), *ws, *bs)
     return out[0], (decoders, gamma)
 
 
@@ -265,7 +268,9 @@ def _bwd_rule(precision, res, ct):
                      interpret=not _is_tpu())
     gamma_pad = jnp.concatenate(
         [gamma[:1], gamma, gamma[-1:]], axis=0)          # (T+2, B, D)
-    dgamma = bwd(gamma_pad, ct.reshape(1, B).astype(jnp.float32), *ws, *bs)
+    dgamma = bwd(gamma_pad.reshape(T + 2, B * D),
+                 ct.reshape(1, B).astype(jnp.float32), *ws, *bs)
+    dgamma = dgamma.reshape(T, B, D)
     zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, decoders)
     return zeros_dec, dgamma
 
