@@ -123,3 +123,37 @@ def test_cov_analysis_identical_models_zero_cov(rng):
                        steps=15, num_t=32, mode="expected")
     np.testing.assert_allclose(res.raw_cov_geodesic[2], 0.0, atol=1e-6)
     np.testing.assert_allclose(res.raw_cov_euclidean, 0.0, atol=1e-6)
+
+
+def test_full_run_pipeline(rng):
+    """End-to-end distance pipeline on synthetic data in one call."""
+    from vae_latent_geometry_tpu.config import (
+        EnergyConfig,
+        GeodesicConfig,
+        InitConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from vae_latent_geometry_tpu.pipeline.full_run import run_distance_pipeline
+    from vae_latent_geometry_tpu.pipeline.train import train_evae
+
+    n = 400
+    labels = np.array([f"c{i % 5}" for i in range(n)])
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    x[:, :2] += 6 * np.stack([np.cos(2 * np.pi * (np.arange(n) % 5) / 5),
+                              np.sin(2 * np.pi * (np.arange(n) % 5) / 5)], 1)
+    mcfg = ModelConfig(input_dim=12, num_decoders=3, encoder_hidden=(16,),
+                      decoder_hidden=(16,), decoder_sigma=1.0)
+    tr = train_evae(x, TrainConfig(epochs=3, batch_size=64), mcfg, log_every=0)
+    res = run_distance_pipeline(
+        tr.params, x, labels, max_labels=5,
+        init_cfg=InitConfig(grid_points_per_axis=30),
+        geo_cfg=GeodesicConfig(steps=15, batch_size=10,
+                               energy=EnergyConfig(num_t=48, mode="expected")),
+        verbose=False,
+    )
+    assert res.matrix.shape == (5, 5)
+    assert np.allclose(res.matrix, res.matrix.T, equal_nan=True)
+    valid_vals = res.matrix[np.isfinite(res.matrix)]
+    assert (valid_vals >= 0).all()
+    assert res.timings["total"] > 0

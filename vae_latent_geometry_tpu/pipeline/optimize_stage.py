@@ -37,6 +37,7 @@ def optimize_spline_batch(
     key=None,
     checkpoint_path: Optional[str] = None,
     log_every_chunk: bool = True,
+    mesh=None,
 ) -> SplineBatchArtifact:
     """Optimize all splines in an artifact; returns the completed artifact.
 
@@ -97,12 +98,23 @@ def optimize_spline_batch(
         sl = slice(start, min(start + bs, P))
         if done[sl].all():
             continue
-        res = optimize_splines(
-            energy_params,
-            jnp.asarray(art.omega_init[sl]),
-            jnp.asarray(art.a[sl]), jnp.asarray(art.b[sl]),
-            art.basis, cfg, key=jax.random.fold_in(key, start),
-        )
+        if mesh is not None:
+            from vae_latent_geometry_tpu.parallel import (
+                sharded_optimize_splines,
+            )
+
+            res = sharded_optimize_splines(
+                energy_params, jnp.asarray(art.omega_init[sl]),
+                jnp.asarray(art.a[sl]), jnp.asarray(art.b[sl]),
+                art.basis, cfg, mesh, key=jax.random.fold_in(key, start),
+            )
+        else:
+            res = optimize_splines(
+                energy_params,
+                jnp.asarray(art.omega_init[sl]),
+                jnp.asarray(art.a[sl]), jnp.asarray(art.b[sl]),
+                art.basis, cfg, key=jax.random.fold_in(key, start),
+            )
         omega_opt[sl] = np.asarray(res.omega)
         if single:
             # legacy semantics: data-space arc length, not sqrt(energy)
