@@ -83,3 +83,32 @@ def test_reference_blob_conversion():
     assert np.isfinite(art.geodesic_length).all()
     assert art.pair_labels[0][0] == "Astro Aqp4"
     assert art.metadata["steps"] == 1000
+
+
+def test_yaml_config_reference_schema(tmp_path):
+    """The reference's configs/config.yaml schema loads directly."""
+    from vae_latent_geometry_tpu.config import from_yaml
+
+    y = tmp_path / "c.yaml"
+    y.write_text(
+        "vae:\n  latent_dim: 3\n  input_dim: 50\n"
+        "training:\n  epochs: 200\n  lr: 0.001\n  batch_size: 64\n  seed: 12\n"
+    )
+    mcfg, tcfg = from_yaml(str(y))
+    assert mcfg.latent_dim == 3 and mcfg.input_dim == 50
+    assert tcfg.epochs == 200 and tcfg.seed == 12 and tcfg.batch_size == 64
+
+
+def test_evae_sample():
+    import jax
+
+    from vae_latent_geometry_tpu.config import ModelConfig
+    from vae_latent_geometry_tpu.models.evae import evae_init, sample
+
+    mcfg = ModelConfig(input_dim=7, num_decoders=3, encoder_hidden=(8,),
+                       decoder_hidden=(8,))
+    params = evae_init(jax.random.PRNGKey(0), mcfg)
+    s = sample(params, jax.random.PRNGKey(1), n=5, cfg=mcfg)
+    assert s.shape == (5, 7)
+    s0 = sample(params, jax.random.PRNGKey(1), n=5, cfg=mcfg, decoder_idx=0)
+    assert s0.shape == (5, 7)

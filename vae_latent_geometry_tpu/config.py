@@ -125,3 +125,23 @@ def from_dict(cls, overrides: Optional[dict] = None):
     if not overrides:
         return base
     return _merge(cls, base, overrides)
+
+
+def from_yaml(path: str):
+    """Load (ModelConfig, TrainConfig) from a YAML file.
+
+    Accepts both this framework's nested layout and the reference's
+    ``configs/config.yaml`` schema (vae: {latent_dim, input_dim},
+    training: {epochs, lr, batch_size, seed}) for drop-in compatibility.
+    """
+    import yaml
+
+    raw = yaml.safe_load(open(path)) or {}
+    vae = dict(raw.get("vae") or raw.get("model") or {})
+    vae.pop("num_decoders_comment", None)
+    model_over = {k: v for k, v in vae.items()
+                  if k in {f.name for f in dataclasses.fields(ModelConfig)}}
+    training = dict(raw.get("training") or raw.get("train") or {})
+    train_over = {k: v for k, v in training.items()
+                  if k in {f.name for f in dataclasses.fields(TrainConfig)}}
+    return from_dict(ModelConfig, model_over), from_dict(TrainConfig, train_over)

@@ -116,3 +116,16 @@ def elbo(params: EVAEParams, key, x, cfg: ModelConfig = ModelConfig()):
 
 def neg_elbo(params: EVAEParams, key, x, cfg: ModelConfig = ModelConfig()):
     return -elbo(params, key, x, cfg)
+
+
+def sample(params: EVAEParams, key, n: int = 1,
+           cfg: ModelConfig = ModelConfig(), decoder_idx=None):
+    """Decoder means of prior samples; random ensemble member unless
+    ``decoder_idx`` is given (legacy EVAE.sample,
+    reference ``src/single_decoder/vae.py:107-113``)."""
+    z_key, d_key = jax.random.split(key)
+    z = jax.random.normal(z_key, (n, cfg.latent_dim))
+    if decoder_idx is None:
+        num_dec = jax.tree_util.tree_leaves(params.decoders)[0].shape[0]
+        decoder_idx = jax.random.randint(d_key, (), 0, num_dec)
+    return decode_one(params.decoders, decoder_idx, z)
