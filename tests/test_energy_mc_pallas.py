@@ -1,0 +1,114 @@
+"""Fused MC energy kernel vs a direct numpy evaluation with identical
+decoder-index draws (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_latent_geometry_tpu.models import nets
+from vae_latent_geometry_tpu.models.evae import decode_all, stack_decoders
+from vae_latent_geometry_tpu.ops.energy_mc_pallas import (
+    energy_mc_fused,
+    sample_decoder_indices,
+)
+from vae_latent_geometry_tpu.ops.energy_pallas import fused_available
+
+pytestmark = pytest.mark.skipif(not fused_available(),
+                                reason="pallas unavailable")
+
+
+@pytest.fixture(scope="module")
+def setup(rng):
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 50, (128, 128))
+        for k in jax.random.split(jax.random.PRNGKey(0), 5)
+    ])
+    T, B = 48, 6
+    gamma = jnp.asarray(rng.normal(size=(T, B, 2)) * 1.5, jnp.float32)
+    d1, d2 = sample_decoder_indices(jax.random.PRNGKey(3), T, B, 5,
+                                    mc_samples=2)
+    return decs, gamma, d1, d2
+
+
+def _reference_energy(decs, gamma, d1, d2):
+    """Direct numpy evaluation of the sampled estimator."""
+    decoded = np.asarray(decode_all(decs, gamma))      # (M, T, B, X)
+    S, Tm1, B = d1.shape
+    total = np.zeros(B)
+    for s in range(S):
+        for t in range(Tm1):
+            for b in range(B):
+                x1 = decoded[d1[s, t, b], t, b]
+                x2 = decoded[d2[s, t, b], t + 1, b]
+                total[b] += np.sum((x2 - x1) ** 2)
+    return total / S
+
+
+def test_forward_matches_direct(setup):
+    decs, gamma, d1, d2 = setup
+    ref = _reference_energy(decs, gamma, np.asarray(d1), np.asarray(d2))
+    got = np.asarray(energy_mc_fused(decs, gamma, d1, d2))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_forward_matches_xla_energy_mc_distribution(setup, rng):
+    """Same expectation as the XLA MC estimator: with many draws the fused
+    kernel's mean matches energy_expected."""
+    from vae_latent_geometry_tpu.geometry import energy as E
+
+    decs, gamma, _, _ = setup
+    exp = np.asarray(E.energy_expected(decs, gamma))
+    draws = []
+    for i in range(60):
+        d1, d2 = sample_decoder_indices(jax.random.PRNGKey(100 + i),
+                                        gamma.shape[0], gamma.shape[1], 5,
+                                        mc_samples=1)
+        draws.append(np.asarray(energy_mc_fused(decs, gamma, d1, d2)))
+    np.testing.assert_allclose(np.mean(draws, axis=0), exp, rtol=0.08)
+
+
+def test_backward_matches_autodiff_of_equivalent(setup):
+    """Fused VJP vs jax.grad of an XLA one-hot formulation with the SAME
+    indices."""
+    decs, gamma, d1, d2 = setup
+    m_dec = 5
+
+    def xla_energy(g):
+        decoded = decode_all(decs, g)                  # (M, T, B, X)
+        S = d1.shape[0]
+        total = 0.0
+        for s in range(S):
+            oh1 = jax.nn.one_hot(d1[s], m_dec, dtype=g.dtype)
+            oh2 = jax.nn.one_hot(d2[s], m_dec, dtype=g.dtype)
+            x1 = jnp.einsum("tbm,mtbx->tbx", oh1, decoded[:, :-1])
+            x2 = jnp.einsum("tbm,mtbx->tbx", oh2, decoded[:, 1:])
+            total = total + jnp.sum((x2 - x1) ** 2, axis=(0, 2))
+        return total / S
+
+    w = jnp.asarray(np.linspace(0.5, 2.0, gamma.shape[1]), jnp.float32)
+    g_ref = jax.grad(lambda g: jnp.sum(w * xla_energy(g)))(gamma)
+    g_fused = jax.grad(
+        lambda g: jnp.sum(w * energy_mc_fused(decs, g, d1, d2)))(gamma)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_num_active_respected(rng):
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 8, (16,))
+        for k in jax.random.split(jax.random.PRNGKey(1), 4)
+    ])
+    T, B = 20, 3
+    gamma = jnp.asarray(rng.normal(size=(T, B, 2)), jnp.float32)
+    d1, d2 = sample_decoder_indices(jax.random.PRNGKey(0), T, B, 4,
+                                    num_active=np.array([1, 2, 4]))
+    assert int(jnp.max(d1[:, :, 0])) == 0
+    assert int(jnp.max(d1[:, :, 1])) <= 1
+    e = np.asarray(energy_mc_fused(decs, gamma, d1, d2))
+    # spline 0 only ever uses decoder 0 -> equals single-decoder energy
+    from vae_latent_geometry_tpu.geometry import energy as E
+
+    dec0 = jax.tree_util.tree_map(lambda x: x[0], decs)
+    e0 = np.asarray(E.energy_single(dec0, gamma))[0]
+    np.testing.assert_allclose(e[0], e0, rtol=1e-4)
