@@ -112,3 +112,26 @@ def test_num_active_respected(rng):
     dec0 = jax.tree_util.tree_map(lambda x: x[0], decs)
     e0 = np.asarray(E.energy_single(dec0, gamma))[0]
     np.testing.assert_allclose(e[0], e0, rtol=1e-4)
+
+
+def test_mc_fused_mode_in_optimizer(rng):
+    from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
+
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 10, (16,))
+        for k in jax.random.split(jax.random.PRNGKey(9), 3)
+    ])
+    B = 3
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    basis, _ = nullspace_basis(4)
+    res = optimize_splines(
+        decs, jnp.zeros((B, 5, 2)), a, b, basis,
+        GeodesicConfig(steps=25, lr=1e-2,
+                       energy=EnergyConfig(num_t=24, mode="mc_fused")),
+        key=jax.random.PRNGKey(1), record_history=True)
+    hist = np.asarray(res.energy_history)
+    assert np.isfinite(hist).all()
+    assert hist[-1].mean() < hist[0].mean()

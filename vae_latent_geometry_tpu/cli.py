@@ -405,7 +405,9 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--num-t", type=int, default=2000)
     o.add_argument("--mc-samples", type=int, default=2)
     o.add_argument("--energy-mode", default="mc",
-                   choices=["mc", "expected", "single", "jvp", "jvp_ensemble"])
+                   choices=["mc", "mc_scan", "mc_fused", "mc_fused_bf16",
+                            "expected", "expected_fused", "expected_fused_bf16",
+                            "single", "jvp", "jvp_ensemble"])
     o.add_argument("--no-euclidean", action="store_true",
                    help="skip encoder Euclidean distances (no data needed)")
     o.add_argument("--output", default=None)

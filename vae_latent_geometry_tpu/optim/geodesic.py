@@ -51,6 +51,21 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
     if mode == "mc":
         return energy_lib.energy_mc(decoders, gamma, key, mc_samples,
                                     num_active)
+    if mode == "mc_scan":
+        return energy_lib.energy_mc_scan(decoders, gamma, key, mc_samples,
+                                         num_active)
+    if mode in ("mc_fused", "mc_fused_bf16"):
+        from vae_latent_geometry_tpu.ops.energy_mc_pallas import (
+            energy_mc_fused,
+            sample_decoder_indices,
+        )
+
+        T, B, _ = gamma.shape
+        m_dec = jax.tree_util.tree_leaves(decoders)[0].shape[0]
+        d1, d2 = sample_decoder_indices(key, T, B, m_dec, mc_samples,
+                                        num_active)
+        precision = "bfloat16" if mode.endswith("bf16") else "float32"
+        return energy_mc_fused(decoders, gamma, d1, d2, precision)
     if mode == "expected":
         return energy_lib.energy_expected(decoders, gamma, num_active)
     if mode in ("expected_fused", "expected_fused_bf16"):
