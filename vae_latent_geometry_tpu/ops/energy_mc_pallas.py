@@ -73,7 +73,7 @@ def _fwd_kernel(gamma_ref, d1_ref, d2_ref, *refs, T, B, D, X, M, S, Tc,
         xall[m, 0, :, :] = jnp.zeros((B, X), jnp.float32)
 
     def body(c, _):
-        g2 = gamma_ref[pl.ds(c * Tc, Tc), :].reshape(Tc * B, D)
+        g2 = gamma_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc), :].reshape(Tc * B, D)
         for m in range(M):
             x = _decode_rows(g2, ws, bs, m, dtype)
             xall[m, pl.ds(1, Tc), :, :] = x.reshape(Tc, B, X)
@@ -81,8 +81,8 @@ def _fwd_kernel(gamma_ref, d1_ref, d2_ref, *refs, T, B, D, X, M, S, Tc,
         first_w = jnp.where(c == 0, 0.0, 1.0)
         total = jnp.zeros((B,), jnp.float32)
         for s in range(S):
-            dd1 = d1_ref[s, pl.ds(c * Tc, Tc), :]          # (Tc, B)
-            dd2 = d2_ref[s, pl.ds(c * Tc, Tc), :]
+            dd1 = d1_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc), :]          # (Tc, B)
+            dd2 = d2_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc), :]
             x1 = jnp.zeros((Tc, B, X), jnp.float32)
             x2 = jnp.zeros((Tc, B, X), jnp.float32)
             for m in range(M):
@@ -116,8 +116,10 @@ def _bwd_kernel(gamma_pad_ref, d1_ref, d2_ref, ct_ref, *refs, T, B, D, X, M,
     ct = ct_ref[0, :]                    # (B,)
 
     def body(c, _):
-        halo2 = gamma_pad_ref[pl.ds(c * Tc, Tc + 2), :].reshape(
-            (Tc + 2) * B, D)
+        # aligned window loads + static value subslices (see energy_pallas):
+        # gamma_pad and the index tensors are padded to T+8 rows host-side.
+        gwin = gamma_pad_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
+        halo2 = gwin[0:Tc + 2, :].reshape((Tc + 2) * B, D)
         for m in range(M):
             x = _decode_rows(halo2, ws, bs, m, dtype)
             xall[m, :, :, :] = x.reshape(Tc + 2, B, X)
@@ -130,8 +132,10 @@ def _bwd_kernel(gamma_pad_ref, d1_ref, d2_ref, ct_ref, *refs, T, B, D, X, M,
         seg_valid = ((seg_ids >= 0) & (seg_ids <= T - 2)).astype(jnp.float32)
 
         for s in range(S):
-            dd1 = d1_ref[s, pl.ds(c * Tc, Tc + 1), :]      # (Tc+1, B)
-            dd2 = d2_ref[s, pl.ds(c * Tc, Tc + 1), :]
+            w1 = d1_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
+            w2 = d2_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
+            dd1 = w1[0:Tc + 1, :]                          # (Tc+1, B)
+            dd2 = w2[0:Tc + 1, :]
             x1 = jnp.zeros((Tc + 1, B, X), jnp.float32)
             x2 = jnp.zeros((Tc + 1, B, X), jnp.float32)
             for m in range(M):
@@ -142,15 +146,17 @@ def _bwd_kernel(gamma_pad_ref, d1_ref, d2_ref, ct_ref, *refs, T, B, D, X, M,
                 x2 = x2 + m2 * xa[1:Tc + 2]
             diffs[s, :, :, :] = (x2 - x1) * seg_valid[:, :, None]
 
-        g2 = gamma_pad_ref[pl.ds(c * Tc + 1, Tc), :].reshape(Tc * B, D)
+        g2 = gwin[1:Tc + 1, :].reshape(Tc * B, D)
         scale = (2.0 / S) * ct[None, :, None]
         dg = jnp.zeros((Tc * B, D), jnp.float32)
         for m in range(M):
             # dx for rows r0+i: -diff[seg r0+i]*1{d1=m} + diff[seg r0+i-1]*1{d2=m}
             dx = jnp.zeros((Tc, B, X), jnp.float32)
             for s in range(S):
-                dd1_row = d1_ref[s, pl.ds(c * Tc + 1, Tc), :]  # col of seg t
-                dd2_row = d2_ref[s, pl.ds(c * Tc, Tc), :]      # col of seg t-1
+                w1 = d1_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
+                w2 = d2_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
+                dd1_row = w1[1:Tc + 1, :]                  # col of seg t
+                dd2_row = w2[0:Tc, :]                      # col of seg t-1
                 m1 = (dd1_row == m).astype(jnp.float32)[:, :, None]
                 m2 = (dd2_row == m).astype(jnp.float32)[:, :, None]
                 df = diffs[s, :, :, :]
@@ -175,7 +181,7 @@ def _bwd_kernel(gamma_pad_ref, d1_ref, d2_ref, ct_ref, *refs, T, B, D, X, M,
                 if i > 0:
                     dh = dh * (acts[i - 1] > 0.0)
             dg = dg + dh
-        dgamma_ref[pl.ds(c * Tc, Tc), :] = dg.reshape(Tc, B * D)
+        dgamma_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc), :] = dg.reshape(Tc, B * D)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -251,13 +257,12 @@ def _bwd_rule(precision, res, ct):
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     bwd = _build("bwd", T, B, D, X, M, S, Tc, len(ws), dtype,
                  interpret=not _is_tpu())
-    gamma_pad = jnp.concatenate([gamma[:1], gamma, gamma[-1:]], axis=0)
-    # bwd slices index columns up to c*Tc + Tc + 1 -> pad one trailing column
-    d1p = jnp.concatenate([_pad_indices(d1),
-                           jnp.zeros((S, 1, B), d1.dtype)], axis=1)
-    d2p = jnp.concatenate([_pad_indices(d2),
-                           jnp.zeros((S, 1, B), d2.dtype)], axis=1)
-    dg = bwd(gamma_pad.reshape(T + 2, B * D), d1p, d2p,
+    # T+8 rows/columns: aligned Tc+8 windows must stay in bounds
+    gamma_pad = jnp.concatenate([gamma[:1], gamma] + [gamma[-1:]] * 7, axis=0)
+    zpad = jnp.zeros((S, 8, d1.shape[2]), d1.dtype)
+    d1p = jnp.concatenate([_pad_indices(d1), zpad], axis=1)
+    d2p = jnp.concatenate([_pad_indices(d2), zpad], axis=1)
+    dg = bwd(gamma_pad.reshape(T + 8, B * D), d1p, d2p,
              ct.reshape(1, B).astype(jnp.float32), *ws, *bs)
     zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, decoders)
     return zeros_dec, dg.reshape(T, B, D), jnp.zeros_like(d1), jnp.zeros_like(d2)

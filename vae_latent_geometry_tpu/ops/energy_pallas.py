@@ -44,12 +44,17 @@ def fused_available() -> bool:
 
 
 def _pick_chunk(T: int, B: int, target_rows: int = 4096) -> int:
-    """Largest divisor of T with chunk*B <= target_rows (>=1)."""
-    best = 1
+    """Largest divisor of T with chunk*B <= target_rows.
+
+    Prefers multiples of 8: dynamic slice starts (c * chunk) must be
+    provably 8-aligned for Mosaic's sublane tiling."""
+    best, best_aligned = 1, 0
     for tc in range(1, T + 1):
         if T % tc == 0 and tc * B <= target_rows:
             best = tc
-    return best
+            if tc % 8 == 0:
+                best_aligned = tc
+    return best_aligned or best
 
 
 def _stack_weights(decoders):
@@ -97,7 +102,7 @@ def _fwd_kernel(gamma_ref, *refs, T, B, D, X, M, Tc, n_layers, dtype):
     sq_ext[0, :] = jnp.zeros((B,), jnp.float32)
 
     def body(c, _):
-        g = gamma_ref[pl.ds(c * Tc, Tc), :]             # (Tc, B*D)
+        g = gamma_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc), :]             # (Tc, B*D)
         g2 = g.reshape(Tc * B, D)
         xbar = jnp.zeros((Tc * B, X), jnp.float32)
         sq = jnp.zeros((Tc * B, 1), jnp.float32)
@@ -140,7 +145,11 @@ def _bwd_kernel(gamma_pad_ref, ct_ref, *refs, T, B, D, X, M, Tc, n_layers,
     ct = ct_ref[0, :]                                    # (B,)
 
     def body(c, _):
-        halo = gamma_pad_ref[pl.ds(c * Tc, Tc + 2), :]     # (Tc+2, B*D)
+        # aligned window load (start multiple of 8, static length), then
+        # static value-subslices — Mosaic cannot prove unaligned dynamic
+        # starts like c*Tc+1.  gamma_pad is padded to T+8 rows host-side.
+        win = gamma_pad_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
+        halo = win[0:Tc + 2, :]                            # (Tc+2, B*D)
         halo2 = halo.reshape((Tc + 2) * B, D)
         # pass 1: ensemble mean over the halo rows
         xbar = jnp.zeros(((Tc + 2) * B, X), jnp.float32)
@@ -157,7 +166,7 @@ def _bwd_kernel(gamma_pad_ref, ct_ref, *refs, T, B, D, X, M, Tc, n_layers,
         right = xbar[2:] * has_right[:, :, None]         # xbar_{t+1}
         scale = (2.0 * inv_m) * ct[None, :, None]        # (1, B, 1)
 
-        g2 = halo[1:Tc + 1, :].reshape(Tc * B, D)
+        g2 = win[1:Tc + 1, :].reshape(Tc * B, D)
         dg = jnp.zeros((Tc * B, D), jnp.float32)
         for m in range(M):
             # recompute forward activations for this decoder
@@ -181,7 +190,7 @@ def _bwd_kernel(gamma_pad_ref, ct_ref, *refs, T, B, D, X, M, Tc, n_layers,
                 if i > 0:
                     dh = dh * (acts[i - 1] > 0.0)
             dg = dg + dh
-        dgamma_ref[pl.ds(c * Tc, Tc), :] = dg.reshape(Tc, B * D)
+        dgamma_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc), :] = dg.reshape(Tc, B * D)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -266,9 +275,11 @@ def _bwd_rule(precision, res, ct):
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     bwd = _build_bwd(T, B, D, X, M, Tc, len(ws), dtype,
                      interpret=not _is_tpu())
+    # (T+8, B, D): 1 leading + 7 trailing edge rows so every aligned window
+    # load of Tc+8 rows stays in bounds
     gamma_pad = jnp.concatenate(
-        [gamma[:1], gamma, gamma[-1:]], axis=0)          # (T+2, B, D)
-    dgamma = bwd(gamma_pad.reshape(T + 2, B * D),
+        [gamma[:1], gamma] + [gamma[-1:]] * 7, axis=0)
+    dgamma = bwd(gamma_pad.reshape(T + 8, B * D),
                  ct.reshape(1, B).astype(jnp.float32), *ws, *bs)
     dgamma = dgamma.reshape(T, B, D)
     zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, decoders)
