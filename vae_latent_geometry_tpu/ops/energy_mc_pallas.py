@@ -12,9 +12,9 @@ passed to both the forward and backward kernels — identical semantics to the
 XLA path, bit-identical fwd/bwd sampling, no in-kernel PRNG state to keep in
 sync.
 
-Index layout trick: the (S, T-1, B) segment indices are padded with one
-leading dummy column to (S, T, B), so chunk c's segment slice is the plain
-column range [c*Tc, c*Tc+Tc) — no negative-start clamping.
+Layout notes: curve passed as D (T, B) planes and indices padded with one
+leading dummy column so every dynamic slice start is (multiple-of-8 x chunk)
+aligned; see ``energy_pallas`` for the rationale.
 """
 
 from __future__ import annotations
@@ -33,10 +33,13 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from vae_latent_geometry_tpu.ops.energy_pallas import (
-    _decode_rows,
+    _first_layer,
+    _gamma_planes,
+    _gamma_planes_padded,
     _is_tpu,
     _pick_chunk,
     _stack_weights,
+    _tail_layers,
 )
 
 
@@ -51,18 +54,29 @@ def sample_decoder_indices(key, T: int, B: int, m_dec: int,
     return d1, d2
 
 
-def _pad_indices(d):
-    """(S, T-1, B) -> (S, T, B) with a dummy leading column."""
+def _pad_indices(d, trailing: int = 0):
+    """(S, T-1, B) -> (S, T+trailing, B): dummy leading column (so segment j
+    lives at column j+1) plus optional trailing padding for window loads."""
     S, Tm1, B = d.shape
-    return jnp.concatenate([jnp.zeros((S, 1, B), d.dtype), d], axis=1)
+    parts = [jnp.zeros((S, 1, B), d.dtype), d]
+    if trailing:
+        parts.append(jnp.zeros((S, trailing, B), d.dtype))
+    return jnp.concatenate(parts, axis=1)
 
 
-def _fwd_kernel(gamma_ref, d1_ref, d2_ref, *refs, T, B, D, X, M, S, Tc,
-                n_layers, dtype):
-    w_refs = refs[:n_layers]
-    b_refs = refs[n_layers:2 * n_layers]
-    out_ref = refs[2 * n_layers]
-    xall = refs[2 * n_layers + 1]        # (M, Tc+1, B, X) scratch
+def _decode_planes_acts(g_planes, ws, bs, m, dtype):
+    h1 = _first_layer(g_planes, ws[0][m], bs[0][m], dtype)
+    x, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True)
+    return x, h1, acts
+
+
+def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
+    g_refs = refs[:D]
+    d1_ref, d2_ref = refs[D], refs[D + 1]
+    w_refs = refs[D + 2:D + 2 + n_layers]
+    b_refs = refs[D + 2 + n_layers:D + 2 + 2 * n_layers]
+    out_ref = refs[D + 2 + 2 * n_layers]
+    xall = refs[D + 2 + 2 * n_layers + 1]  # (M, Tc+8, B, X) scratch
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
@@ -70,71 +84,76 @@ def _fwd_kernel(gamma_ref, d1_ref, d2_ref, *refs, T, B, D, X, M, S, Tc,
 
     out_ref[:] = jnp.zeros_like(out_ref)
     for m in range(M):
-        xall[m, 0, :, :] = jnp.zeros((B, X), jnp.float32)
+        xall[m, pl.ds(0, 8), :, :] = jnp.zeros((8, B, X), jnp.float32)
 
     def body(c, _):
-        g2 = gamma_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc), :].reshape(Tc * B, D)
+        start = pl.multiple_of(c * Tc, 8)
+        g_planes = [g_refs[d][pl.ds(start, Tc), :] for d in range(D)]
         for m in range(M):
-            x = _decode_rows(g2, ws, bs, m, dtype)
-            xall[m, pl.ds(1, Tc), :, :] = x.reshape(Tc, B, X)
+            h1 = _first_layer(g_planes, ws[0][m], bs[0][m], dtype)
+            x = _tail_layers(h1, ws, bs, m, dtype)
+            xall[m, pl.ds(8, Tc), :, :] = x.reshape(Tc, B, X)
 
         first_w = jnp.where(c == 0, 0.0, 1.0)
         total = jnp.zeros((B,), jnp.float32)
         for s in range(S):
-            dd1 = d1_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc), :]          # (Tc, B)
-            dd2 = d2_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc), :]
+            dd1 = d1_ref[s, pl.ds(start, Tc), :]            # (Tc, B)
+            dd2 = d2_ref[s, pl.ds(start, Tc), :]
             x1 = jnp.zeros((Tc, B, X), jnp.float32)
             x2 = jnp.zeros((Tc, B, X), jnp.float32)
             for m in range(M):
-                xa = xall[m, :, :, :]                       # (Tc+1, B, X)
+                xa = xall[m, :, :, :]                        # (Tc+8, B, X)
                 m1 = (dd1 == m).astype(jnp.float32)[:, :, None]
                 m2 = (dd2 == m).astype(jnp.float32)[:, :, None]
-                x1 = x1 + m1 * xa[:Tc]
-                x2 = x2 + m2 * xa[1:Tc + 1]
+                x1 = x1 + m1 * xa[7:7 + Tc]
+                x2 = x2 + m2 * xa[8:8 + Tc]
             diff = x2 - x1
-            seg = jnp.sum(diff * diff, axis=-1)             # (Tc, B)
+            seg = jnp.sum(diff * diff, axis=-1)              # (Tc, B)
             total = total + jnp.sum(seg[1:], axis=0) + seg[0] * first_w
         out_ref[0, :] = out_ref[0, :] + total / S
         for m in range(M):
-            xall[m, 0, :, :] = xall[m, Tc, :, :]
+            xall[m, 7, :, :] = xall[m, 7 + Tc, :, :]
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def _bwd_kernel(gamma_pad_ref, d1_ref, d2_ref, ct_ref, *refs, T, B, D, X, M,
-                S, Tc, n_layers, dtype):
-    w_refs = refs[:n_layers]
-    b_refs = refs[n_layers:2 * n_layers]
-    dgamma_ref = refs[2 * n_layers]
-    xall = refs[2 * n_layers + 1]        # (M, Tc+2, B, X) scratch
-    diffs = refs[2 * n_layers + 2]       # (S, Tc+1, B, X) scratch
+def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
+    g_refs = refs[:D]                     # D x (T+8, B) edge-padded planes
+    d1_ref, d2_ref = refs[D], refs[D + 1]  # (S, T+8, B)
+    ct_ref = refs[D + 2]
+    w_refs = refs[D + 3:D + 3 + n_layers]
+    b_refs = refs[D + 3 + n_layers:D + 3 + 2 * n_layers]
+    dg_refs = refs[D + 3 + 2 * n_layers:D + 3 + 2 * n_layers + D]
+    xall = refs[D + 3 + 2 * n_layers + D]      # (M, Tc+8, B, X)
+    diffs = refs[D + 3 + 2 * n_layers + D + 1]  # (S, Tc+8, B, X)
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
     n_chunks = T // Tc
-    ct = ct_ref[0, :]                    # (B,)
+    ct = ct_ref[0, :]
 
     def body(c, _):
-        # aligned window loads + static value subslices (see energy_pallas):
-        # gamma_pad and the index tensors are padded to T+8 rows host-side.
-        gwin = gamma_pad_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
-        halo2 = gwin[0:Tc + 2, :].reshape((Tc + 2) * B, D)
-        for m in range(M):
-            x = _decode_rows(halo2, ws, bs, m, dtype)
-            xall[m, :, :, :] = x.reshape(Tc + 2, B, X)
+        start = pl.multiple_of(c * Tc, 8)
+        wins = [g_refs[d][pl.ds(start, Tc + 8), :] for d in range(D)]
+        halo_planes = [w[0:Tc + 2, :] for w in wins]
+        center_planes = [w[1:Tc + 1, :] for w in wins]
 
-        # segment index columns for segments (c*Tc-1+i), i = 0..Tc
-        # (padded layout: segment j uses column j+1 -> columns c*Tc..c*Tc+Tc)
-        # validity of segment j: 0 <= j <= T-2
+        for m in range(M):
+            h1 = _first_layer(halo_planes, ws[0][m], bs[0][m], dtype)
+            x = _tail_layers(h1, ws, bs, m, dtype)
+            xall[m, pl.ds(0, Tc + 8), :, :] = jnp.pad(
+                x.reshape(Tc + 2, B, X), ((0, 6), (0, 0), (0, 0)))
+
+        # segments j = c*Tc-1+i for i = 0..Tc; valid iff 0 <= j <= T-2
         seg_ids = jax.lax.broadcasted_iota(jnp.int32, (Tc + 1, 1), 0) \
             + c * Tc - 1
         seg_valid = ((seg_ids >= 0) & (seg_ids <= T - 2)).astype(jnp.float32)
 
         for s in range(S):
-            w1 = d1_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
-            w2 = d2_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
-            dd1 = w1[0:Tc + 1, :]                          # (Tc+1, B)
+            w1 = d1_ref[s, pl.ds(start, Tc + 8), :]
+            w2 = d2_ref[s, pl.ds(start, Tc + 8), :]
+            dd1 = w1[0:Tc + 1, :]                            # (Tc+1, B)
             dd2 = w2[0:Tc + 1, :]
             x1 = jnp.zeros((Tc + 1, B, X), jnp.float32)
             x2 = jnp.zeros((Tc + 1, B, X), jnp.float32)
@@ -142,46 +161,42 @@ def _bwd_kernel(gamma_pad_ref, d1_ref, d2_ref, ct_ref, *refs, T, B, D, X, M,
                 xa = xall[m, :, :, :]
                 m1 = (dd1 == m).astype(jnp.float32)[:, :, None]
                 m2 = (dd2 == m).astype(jnp.float32)[:, :, None]
-                x1 = x1 + m1 * xa[:Tc + 1]
+                x1 = x1 + m1 * xa[0:Tc + 1]
                 x2 = x2 + m2 * xa[1:Tc + 2]
-            diffs[s, :, :, :] = (x2 - x1) * seg_valid[:, :, None]
+            d_val = (x2 - x1) * seg_valid[:, :, None]
+            diffs[s, pl.ds(0, Tc + 8), :, :] = jnp.pad(
+                d_val, ((0, 7), (0, 0), (0, 0)))
 
-        g2 = gwin[1:Tc + 1, :].reshape(Tc * B, D)
         scale = (2.0 / S) * ct[None, :, None]
-        dg = jnp.zeros((Tc * B, D), jnp.float32)
+        dgs = [jnp.zeros((Tc, B), jnp.float32) for _ in range(D)]
         for m in range(M):
-            # dx for rows r0+i: -diff[seg r0+i]*1{d1=m} + diff[seg r0+i-1]*1{d2=m}
             dx = jnp.zeros((Tc, B, X), jnp.float32)
             for s in range(S):
-                w1 = d1_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
-                w2 = d2_ref[s, pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
-                dd1_row = w1[1:Tc + 1, :]                  # col of seg t
-                dd2_row = w2[0:Tc, :]                      # col of seg t-1
+                w1 = d1_ref[s, pl.ds(start, Tc + 8), :]
+                w2 = d2_ref[s, pl.ds(start, Tc + 8), :]
+                dd1_row = w1[1:Tc + 1, :]                    # col of seg t
+                dd2_row = w2[0:Tc, :]                        # col of seg t-1
                 m1 = (dd1_row == m).astype(jnp.float32)[:, :, None]
                 m2 = (dd2_row == m).astype(jnp.float32)[:, :, None]
                 df = diffs[s, :, :, :]
-                dx = dx - m1 * df[1:Tc + 1] + m2 * df[:Tc]
+                dx = dx - m1 * df[1:Tc + 1] + m2 * df[0:Tc]
             dx = dx * scale
 
-            acts = []
-            h = g2
-            for i in range(n_layers):
-                w = ws[i][m].astype(dtype)
-                b = bs[i][m].astype(jnp.float32)
-                h = jnp.dot(h.astype(dtype), w,
-                            preferred_element_type=jnp.float32) + b
-                if i < n_layers - 1:
-                    h = jnp.maximum(h, 0.0)
-                    acts.append(h)
+            h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
+            _, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True)
             dh = dx.reshape(Tc * B, X)
-            for i in range(n_layers - 1, -1, -1):
+            for i in range(n_layers - 1, 0, -1):
                 w = ws[i][m].astype(dtype)
                 dh = jnp.dot(dh.astype(dtype), w.T,
                              preferred_element_type=jnp.float32)
-                if i > 0:
-                    dh = dh * (acts[i - 1] > 0.0)
-            dg = dg + dh
-        dgamma_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc), :] = dg.reshape(Tc, B * D)
+                act = acts[i - 2] if i >= 2 else h1
+                dh = dh * (act > 0.0)
+            dh3 = dh.reshape(Tc, B, ws[0].shape[-1])
+            for d in range(D):
+                w1d = ws[0][m, d].astype(jnp.float32)
+                dgs[d] = dgs[d] + jnp.sum(dh3 * w1d[None, None, :], axis=-1)
+        for d in range(D):
+            dg_refs[d][pl.ds(start, Tc), :] = dgs[d]
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -194,21 +209,23 @@ def _build(kind, T, B, D, X, M, S, Tc, n_layers, dtype, interpret):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 2 * n_layers),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * (D + 2 + 2 * n_layers),
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((M, Tc + 1, B, X), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((M, Tc + 8, B, X), jnp.float32)],
             interpret=interpret,
         )
     kernel = functools.partial(_bwd_kernel, T=T, B=B, D=D, X=X, M=M, S=S,
                                Tc=Tc, n_layers=n_layers, dtype=dtype)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, B * D), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 + 2 * n_layers),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=[jax.ShapeDtypeStruct((T, B), jnp.float32)] * D,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (D + 3 + 2 * n_layers),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * D,
         scratch_shapes=[
-            pltpu.VMEM((M, Tc + 2, B, X), jnp.float32),
-            pltpu.VMEM((S, Tc + 1, B, X), jnp.float32),
+            pltpu.VMEM((M, Tc + 8, B, X), jnp.float32),
+            pltpu.VMEM((S, Tc + 8, B, X), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -240,7 +257,7 @@ def _fwd_impl(decoders, gamma, d1, d2, precision):
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     fwd = _build("fwd", T, B, D, X, M, S, Tc, len(ws), dtype,
                  interpret=not _is_tpu())
-    out = fwd(gamma.reshape(T, B * D), _pad_indices(d1), _pad_indices(d2),
+    out = fwd(*_gamma_planes(gamma), _pad_indices(d1), _pad_indices(d2),
               *ws, *bs)
     return out[0], (decoders, gamma, d1, d2)
 
@@ -257,15 +274,12 @@ def _bwd_rule(precision, res, ct):
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     bwd = _build("bwd", T, B, D, X, M, S, Tc, len(ws), dtype,
                  interpret=not _is_tpu())
-    # T+8 rows/columns: aligned Tc+8 windows must stay in bounds
-    gamma_pad = jnp.concatenate([gamma[:1], gamma] + [gamma[-1:]] * 7, axis=0)
-    zpad = jnp.zeros((S, 8, d1.shape[2]), d1.dtype)
-    d1p = jnp.concatenate([_pad_indices(d1), zpad], axis=1)
-    d2p = jnp.concatenate([_pad_indices(d2), zpad], axis=1)
-    dg = bwd(gamma_pad.reshape(T + 8, B * D), d1p, d2p,
-             ct.reshape(1, B).astype(jnp.float32), *ws, *bs)
+    dplanes = bwd(*_gamma_planes_padded(gamma),
+                  _pad_indices(d1, trailing=8), _pad_indices(d2, trailing=8),
+                  ct.reshape(1, B).astype(jnp.float32), *ws, *bs)
+    dgamma = jnp.stack(dplanes, axis=-1)
     zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, decoders)
-    return zeros_dec, dg.reshape(T, B, D), jnp.zeros_like(d1), jnp.zeros_like(d2)
+    return (zeros_dec, dgamma, jnp.zeros_like(d1), jnp.zeros_like(d2))
 
 
 energy_mc_fused.defvjp(_fwd_rule, _bwd_rule)

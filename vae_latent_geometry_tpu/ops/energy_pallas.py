@@ -12,8 +12,16 @@ ensemble decoders chunk-by-chunk entirely in VMEM:
   expected energy) — the (M, T, B, X) tensor never exists;
 - adjacent-sample cross terms use a one-row carry between chunks;
 - the backward kernel exploits that geodesic optimization trains only the
-  curve (omega), not the decoders:  it recomputes activations per chunk and
+  curve (omega), not the decoders: it recomputes activations per chunk and
   emits d gamma only — no weight gradients, no stored residuals.
+
+TPU layout notes (learned from Mosaic):
+- the curve is passed as D separate (T, B) planes: a (..., D=2) trailing axis
+  would lane-pad 64x, and in-kernel reshapes may not change the lane dim;
+- the first MLP layer (D -> H) is computed as D broadcast multiply-adds on
+  the VPU instead of a degenerate D-contraction matmul;
+- d gamma is likewise emitted as D planes (lane-dim-preserving reductions);
+- dynamic slice starts are (chunk multiple-of-8) aligned.
 
 Energy definition matches ``energy_expected`` exactly:
     E_b = sum_t [ sq_{t+1,b} + sq_{t,b} - 2 <xbar_{t+1,b}, xbar_{t,b}> ]
@@ -24,11 +32,9 @@ which is the closed-form expectation of the reference's MC estimator
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # Pallas is TPU/interpret-only in some builds; degrade gracefully.
     from jax.experimental import pallas as pl
@@ -66,29 +72,46 @@ def _stack_weights(decoders):
     return ws, bs
 
 
-def _decode_rows(g2, ws, bs, m, dtype):
-    """One decoder's MLP over (rows, D) -> (rows, X), f32 accumulate."""
-    h = g2
+def _first_layer(g_planes, w1, b1, dtype):
+    """(Tc, B) planes -> post-relu h1 (Tc*B, H1) via broadcast mul-adds.
+
+    w1: (D, H1);  the degenerate D-contraction never touches the MXU.
+    """
+    Tc, B = g_planes[0].shape
+    h = jnp.zeros((Tc, B, w1.shape[1]), jnp.float32) + b1.astype(jnp.float32)
+    for d, g in enumerate(g_planes):
+        h = h + g[:, :, None].astype(jnp.float32) * w1[d][None, None, :].astype(jnp.float32)
+    h = jnp.maximum(h, 0.0)
+    return h.reshape(Tc * B, w1.shape[1])
+
+
+def _tail_layers(h, ws, bs, m, dtype, start: int = 1, keep_acts: bool = False):
+    """Apply layers [start:] of decoder m to (rows, H): matmuls on the MXU."""
+    acts = []
     n_layers = len(ws)
-    for i in range(n_layers):
+    for i in range(start, n_layers):
         w = ws[i][m].astype(dtype)
         b = bs[i][m].astype(jnp.float32)
-        h = jnp.dot(h.astype(dtype), w,
-                    preferred_element_type=jnp.float32) + b
+        h = jnp.dot(h.astype(dtype), w, preferred_element_type=jnp.float32) + b
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
-    return h
+            if keep_acts:
+                acts.append(h)
+    return (h, acts) if keep_acts else h
 
 
-def _fwd_kernel(gamma_ref, *refs, T, B, D, X, M, Tc, n_layers, dtype):
-    # gamma_ref is (T, B*D): the trailing curve dimension D (typically 2)
-    # is folded into the lane axis to avoid the 64x lane-padding a (..., 2)
-    # VMEM window would incur.
-    w_refs = refs[:n_layers]
-    b_refs = refs[n_layers:2 * n_layers]
-    out_ref = refs[2 * n_layers]
-    xbar_ext = refs[2 * n_layers + 1]    # (Tc+1, B, X) scratch
-    sq_ext = refs[2 * n_layers + 2]      # (Tc+1, B) scratch
+def _decode_planes(g_planes, ws, bs, m, dtype):
+    h1 = _first_layer(g_planes, ws[0][m], bs[0][m], dtype)
+    return _tail_layers(h1, ws, bs, m, dtype)
+
+
+def _fwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
+    g_refs = refs[:D]                     # D x (T, B)
+    w_refs = refs[D:D + n_layers]
+    b_refs = refs[D + n_layers:D + 2 * n_layers]
+    out_ref = refs[D + 2 * n_layers]
+    xbar_ext = refs[D + 2 * n_layers + 1]  # (Tc+8, B, X) scratch
+    sq_ext = refs[D + 2 * n_layers + 2]    # (Tc+8, B) scratch
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
@@ -98,99 +121,95 @@ def _fwd_kernel(gamma_ref, *refs, T, B, D, X, M, Tc, n_layers, dtype):
     out_ref[:] = jnp.zeros_like(out_ref)
     # zero the carry slot: chunk 0's first segment is masked out, but it must
     # still be computed from finite values (0 * NaN = NaN)
-    xbar_ext[0, :, :] = jnp.zeros((B, X), jnp.float32)
-    sq_ext[0, :] = jnp.zeros((B,), jnp.float32)
+    xbar_ext[pl.ds(0, 8), :, :] = jnp.zeros((8, B, X), jnp.float32)
+    sq_ext[pl.ds(0, 8), :] = jnp.zeros((8, B), jnp.float32)
 
     def body(c, _):
-        g = gamma_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc), :]             # (Tc, B*D)
-        g2 = g.reshape(Tc * B, D)
+        start = pl.multiple_of(c * Tc, 8)
+        g_planes = [g_refs[d][pl.ds(start, Tc), :] for d in range(D)]
         xbar = jnp.zeros((Tc * B, X), jnp.float32)
-        sq = jnp.zeros((Tc * B, 1), jnp.float32)
+        sq3 = jnp.zeros((Tc, B), jnp.float32)
         for m in range(M):
-            x = _decode_rows(g2, ws, bs, m, dtype)      # (Tc*B, X)
+            x = _decode_planes(g_planes, ws, bs, m, dtype)   # (Tc*B, X)
             xbar = xbar + x
-            sq = sq + jnp.sum(x * x, axis=1, keepdims=True)
+            x3 = x.reshape(Tc, B, X)
+            sq3 = sq3 + jnp.sum(x3 * x3, axis=-1)
         xbar = xbar * inv_m
-        sq = sq * inv_m
+        sq3 = sq3 * inv_m
 
-        xbar_ext[pl.ds(1, Tc), :, :] = xbar.reshape(Tc, B, X)
-        sq_ext[pl.ds(1, Tc), :] = sq.reshape(Tc, B)
+        # rows 7..7+Tc hold [carry, chunk]; write chunk at aligned offset 8
+        xbar_ext[pl.ds(8, Tc), :, :] = xbar.reshape(Tc, B, X)
+        sq_ext[pl.ds(8, Tc), :] = sq3
 
-        xe = xbar_ext[:]                                 # (Tc+1, B, X)
-        se = sq_ext[:]                                   # (Tc+1, B)
-        cross = jnp.sum(xe[1:] * xe[:-1], axis=-1)       # (Tc, B)
-        seg = se[1:] + se[:-1] - 2.0 * cross             # (Tc, B)
-        # first segment of chunk 0 pairs row 0 with garbage -> mask it
+        xe = xbar_ext[:]                                  # (Tc+8, B, X)
+        se = sq_ext[:]
+        cross = jnp.sum(xe[8:8 + Tc] * xe[7:7 + Tc], axis=-1)   # (Tc, B)
+        seg = se[8:8 + Tc] + se[7:7 + Tc] - 2.0 * cross         # (Tc, B)
         first_w = jnp.where(c == 0, 0.0, 1.0)
         total = jnp.sum(seg[1:], axis=0) + seg[0] * first_w
         out_ref[0, :] = out_ref[0, :] + total
-        # carry last row into slot 0 for the next chunk
-        xbar_ext[0, :, :] = xbar_ext[Tc, :, :]
-        sq_ext[0, :] = sq_ext[Tc, :]
+        # carry last row into slot 7 for the next chunk
+        xbar_ext[7, :, :] = xbar_ext[7 + Tc, :, :]
+        sq_ext[7, :] = sq_ext[7 + Tc, :]
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def _bwd_kernel(gamma_pad_ref, ct_ref, *refs, T, B, D, X, M, Tc, n_layers,
-                dtype):
-    w_refs = refs[:n_layers]
-    b_refs = refs[n_layers:2 * n_layers]
-    dgamma_ref = refs[2 * n_layers]
+def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
+    g_refs = refs[:D]                     # D x (T+8, B) edge-padded planes
+    ct_ref = refs[D]
+    w_refs = refs[D + 1:D + 1 + n_layers]
+    b_refs = refs[D + 1 + n_layers:D + 1 + 2 * n_layers]
+    dg_refs = refs[D + 1 + 2 * n_layers:D + 1 + 2 * n_layers + D]
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
     inv_m = 1.0 / M
     n_chunks = T // Tc
-    ct = ct_ref[0, :]                                    # (B,)
+    ct = ct_ref[0, :]                     # (B,)
 
     def body(c, _):
-        # aligned window load (start multiple of 8, static length), then
-        # static value-subslices — Mosaic cannot prove unaligned dynamic
-        # starts like c*Tc+1.  gamma_pad is padded to T+8 rows host-side.
-        win = gamma_pad_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc + 8), :]
-        halo = win[0:Tc + 2, :]                            # (Tc+2, B*D)
-        halo2 = halo.reshape((Tc + 2) * B, D)
-        # pass 1: ensemble mean over the halo rows
+        start = pl.multiple_of(c * Tc, 8)
+        # windows cover padded rows [c*Tc, c*Tc+Tc+8) = global rows
+        # [c*Tc-1, c*Tc+Tc+7): halo rows 0..Tc+1, center rows 1..Tc
+        wins = [g_refs[d][pl.ds(start, Tc + 8), :] for d in range(D)]
+        halo_planes = [w[0:Tc + 2, :] for w in wins]
+        center_planes = [w[1:Tc + 1, :] for w in wins]
+
         xbar = jnp.zeros(((Tc + 2) * B, X), jnp.float32)
         for m in range(M):
-            xbar = xbar + _decode_rows(halo2, ws, bs, m, dtype)
+            xbar = xbar + _decode_planes(halo_planes, ws, bs, m, dtype)
         xbar = (xbar * inv_m).reshape(Tc + 2, B, X)
 
-        # boundary masks for global rows c*Tc .. c*Tc+Tc-1
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0) + c * Tc
-        has_left = (row_ids > 0).astype(jnp.float32)     # (Tc, 1)
+        has_left = (row_ids > 0).astype(jnp.float32)      # (Tc, 1)
         has_right = (row_ids < T - 1).astype(jnp.float32)
-        c_coeff = (has_left + has_right)[:, None, :]     # (Tc, 1, 1)
-        left = xbar[:Tc] * has_left[:, :, None]          # xbar_{t-1}
-        right = xbar[2:] * has_right[:, :, None]         # xbar_{t+1}
-        scale = (2.0 * inv_m) * ct[None, :, None]        # (1, B, 1)
+        c_coeff = (has_left + has_right)[:, :, None]      # (Tc, 1, 1)
+        left = xbar[0:Tc] * has_left[:, :, None]
+        right = xbar[2:Tc + 2] * has_right[:, :, None]
+        scale = (2.0 * inv_m) * ct[None, :, None]         # (1, B, 1)
 
-        g2 = win[1:Tc + 1, :].reshape(Tc * B, D)
-        dg = jnp.zeros((Tc * B, D), jnp.float32)
+        dgs = [jnp.zeros((Tc, B), jnp.float32) for _ in range(D)]
         for m in range(M):
-            # recompute forward activations for this decoder
-            acts = []
-            h = g2
-            for i in range(n_layers):
-                w = ws[i][m].astype(dtype)
-                b = bs[i][m].astype(jnp.float32)
-                h = jnp.dot(h.astype(dtype), w,
-                            preferred_element_type=jnp.float32) + b
-                if i < n_layers - 1:
-                    h = jnp.maximum(h, 0.0)
-                    acts.append(h)
-            x = h.reshape(Tc, B, X)
-            dx = scale * (c_coeff * x - left - right)    # (Tc, B, X)
+            h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
+            x, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True)
+            x3 = x.reshape(Tc, B, X)
+            dx = scale * (c_coeff * x3 - left - right)    # (Tc, B, X)
             dh = dx.reshape(Tc * B, X)
-            for i in range(n_layers - 1, -1, -1):
+            for i in range(n_layers - 1, 0, -1):
                 w = ws[i][m].astype(dtype)
                 dh = jnp.dot(dh.astype(dtype), w.T,
                              preferred_element_type=jnp.float32)
-                if i > 0:
-                    dh = dh * (acts[i - 1] > 0.0)
-            dg = dg + dh
-        dgamma_ref[pl.ds(pl.multiple_of(c * Tc, 8), Tc), :] = dg.reshape(Tc, B * D)
+                act = acts[i - 2] if i >= 2 else h1
+                dh = dh * (act > 0.0)
+            # first layer backprop: dg_d = sum_h dh1[:, h] * W1[d, h]
+            dh3 = dh.reshape(Tc, B, ws[0].shape[-1])
+            for d in range(D):
+                w1d = ws[0][m, d].astype(jnp.float32)     # (H1,)
+                dgs[d] = dgs[d] + jnp.sum(dh3 * w1d[None, None, :], axis=-1)
+        for d in range(D):
+            dg_refs[d][pl.ds(start, Tc), :] = dgs[d]
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -202,11 +221,11 @@ def _build_fwd(T, B, D, X, M, Tc, n_layers, dtype, interpret):
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + 2 * n_layers),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (D + 2 * n_layers),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((Tc + 1, B, X), jnp.float32),
-            pltpu.VMEM((Tc + 1, B), jnp.float32),
+            pltpu.VMEM((Tc + 8, B, X), jnp.float32),
+            pltpu.VMEM((Tc + 8, B), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -217,9 +236,9 @@ def _build_bwd(T, B, D, X, M, Tc, n_layers, dtype, interpret):
                                n_layers=n_layers, dtype=dtype)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, B * D), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + 2 * n_layers),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=[jax.ShapeDtypeStruct((T, B), jnp.float32)] * D,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (D + 1 + 2 * n_layers),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * D,
         interpret=interpret,
     )
 
@@ -231,13 +250,25 @@ def _is_tpu() -> bool:
         return False
 
 
+def _gamma_planes(gamma):
+    T, B, D = gamma.shape
+    return [gamma[:, :, d] for d in range(D)]
+
+
+def _gamma_planes_padded(gamma):
+    """Edge-pad to (T+8, B) planes: 1 leading + 7 trailing rows."""
+    T, B, D = gamma.shape
+    gp = jnp.concatenate([gamma[:1], gamma] + [gamma[-1:]] * 7, axis=0)
+    return [gp[:, :, d] for d in range(D)]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def energy_expected_fused(decoders, gamma, precision: str = "float32"):
     """Fused expected ensemble energy: (T, B, D) curve -> (B,) energies.
 
     precision: 'float32' (default, parity with the XLA path) or 'bfloat16'
-    (bf16 matmuls with f32 accumulation — ~2-3x faster, ~1e-3 rel error;
-    use for bulk optimization steps, finish/evaluate in float32).
+    (bf16 matmuls with f32 accumulation — faster, ~1e-3 rel error; use for
+    bulk optimization steps, finish/evaluate in float32).
 
     Differentiable in ``gamma`` only — decoder weights receive zero
     cotangents (geodesic optimization never trains them; use the XLA path
@@ -247,16 +278,21 @@ def energy_expected_fused(decoders, gamma, precision: str = "float32"):
     return e
 
 
-def _fwd_impl(decoders, gamma, precision):
+def _dims(decoders, gamma):
     T, B, D = gamma.shape
     ws, bs = _stack_weights(decoders)
     M = ws[0].shape[0]
     X = ws[-1].shape[-1]
     Tc = _pick_chunk(T, B)
+    return T, B, D, X, M, Tc, ws, bs
+
+
+def _fwd_impl(decoders, gamma, precision):
+    T, B, D, X, M, Tc, ws, bs = _dims(decoders, gamma)
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     fwd = _build_fwd(T, B, D, X, M, Tc, len(ws), dtype,
                      interpret=not _is_tpu())
-    out = fwd(gamma.reshape(T, B * D), *ws, *bs)
+    out = fwd(*_gamma_planes(gamma), *ws, *bs)
     return out[0], (decoders, gamma)
 
 
@@ -267,21 +303,13 @@ def _fwd_rule(decoders, gamma, precision):
 
 def _bwd_rule(precision, res, ct):
     decoders, gamma = res
-    T, B, D = gamma.shape
-    ws, bs = _stack_weights(decoders)
-    M = ws[0].shape[0]
-    X = ws[-1].shape[-1]
-    Tc = _pick_chunk(T, B)
+    T, B, D, X, M, Tc, ws, bs = _dims(decoders, gamma)
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     bwd = _build_bwd(T, B, D, X, M, Tc, len(ws), dtype,
                      interpret=not _is_tpu())
-    # (T+8, B, D): 1 leading + 7 trailing edge rows so every aligned window
-    # load of Tc+8 rows stays in bounds
-    gamma_pad = jnp.concatenate(
-        [gamma[:1], gamma] + [gamma[-1:]] * 7, axis=0)
-    dgamma = bwd(gamma_pad.reshape(T + 8, B * D),
-                 ct.reshape(1, B).astype(jnp.float32), *ws, *bs)
-    dgamma = dgamma.reshape(T, B, D)
+    dplanes = bwd(*_gamma_planes_padded(gamma),
+                  ct.reshape(1, B).astype(jnp.float32), *ws, *bs)
+    dgamma = jnp.stack(dplanes, axis=-1)                 # (T, B, D)
     zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, decoders)
     return zeros_dec, dgamma
 
