@@ -33,6 +33,7 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from vae_latent_geometry_tpu.ops.energy_pallas import (
+    _compiler_params,
     _first_layer,
     _gamma_planes,
     _gamma_planes_padded,
@@ -213,6 +214,7 @@ def _build(kind, T, B, D, X, M, S, Tc, n_layers, dtype, interpret):
             * (D + 2 + 2 * n_layers),
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((M, Tc + 8, B, X), jnp.float32)],
+            compiler_params=_compiler_params(),
             interpret=interpret,
         )
     kernel = functools.partial(_bwd_kernel, T=T, B=B, D=D, X=X, M=M, S=S,
@@ -227,6 +229,7 @@ def _build(kind, T, B, D, X, M, S, Tc, n_layers, dtype, interpret):
             pltpu.VMEM((M, Tc + 8, B, X), jnp.float32),
             pltpu.VMEM((S, Tc + 8, B, X), jnp.float32),
         ],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 

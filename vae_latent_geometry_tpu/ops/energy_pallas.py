@@ -49,6 +49,18 @@ def fused_available() -> bool:
     return _PALLAS_OK
 
 
+# The default Mosaic scoped-VMEM budget is 16 MB; this chip has far more
+# (v5e reports a 128 MB vmem space).  Our chunk intermediates want ~20-40 MB.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    try:
+        return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    except Exception:  # older API name
+        return pltpu.TPUCompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 def _pick_chunk(T: int, B: int, target_rows: int = 4096) -> int:
     """Largest divisor of T with chunk*B <= target_rows.
 
@@ -227,6 +239,7 @@ def _build_fwd(T, B, D, X, M, Tc, n_layers, dtype, interpret):
             pltpu.VMEM((Tc + 8, B, X), jnp.float32),
             pltpu.VMEM((Tc + 8, B), jnp.float32),
         ],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 
@@ -239,6 +252,7 @@ def _build_bwd(T, B, D, X, M, Tc, n_layers, dtype, interpret):
         out_shape=[jax.ShapeDtypeStruct((T, B), jnp.float32)] * D,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (D + 1 + 2 * n_layers),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * D,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 
