@@ -98,7 +98,7 @@ def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
         first_w = jnp.where(c == 0, 0.0, 1.0)
         row0 = (jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0) == 0)
         w_rows = jnp.where(row0, first_w, 1.0)               # (Tc, 1)
-        total = jnp.zeros((B,), jnp.float32)
+        total = jnp.zeros((1, B), jnp.float32)
         for s in range(S):
             dd1 = d1_ref[s, pl.ds(start, Tc), :]            # (Tc, B)
             dd2 = d2_ref[s, pl.ds(start, Tc), :]
@@ -112,8 +112,8 @@ def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
                 x2 = x2 + m2 * xa[8:8 + Tc]
             diff = x2 - x1
             seg = jnp.sum(diff * diff, axis=-1)              # (Tc, B)
-            total = total + jnp.sum(seg * w_rows, axis=0)
-        out_ref[0, :] = out_ref[0, :] + total / S
+            total = total + jnp.sum(seg * w_rows, axis=0, keepdims=True)
+        out_ref[0:1, :] = out_ref[0:1, :] + total / S
         for m in range(M):
             xall[m, 7, :, :] = xall[m, 7 + Tc, :, :]
         return 0

@@ -163,7 +163,8 @@ def _fwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
         row0 = (jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0) == 0)
         first_w = jnp.where(c == 0, 0.0, 1.0)
         w_rows = jnp.where(row0, first_w, 1.0)                   # (Tc, 1)
-        out_ref[0, :] = out_ref[0, :] + jnp.sum(seg * w_rows, axis=0)
+        out_ref[0:1, :] = out_ref[0:1, :] + jnp.sum(seg * w_rows, axis=0,
+                                                    keepdims=True)
         # carry last row into slot 7 for the next chunk
         xbar_ext[7, :, :] = xbar_ext[7 + Tc, :, :]
         sq_ext[7, :] = sq_ext[7 + Tc, :]
