@@ -170,7 +170,15 @@ def main():
                        "workload": f"B={B},T={T},Mdec={M_DEC},MC={MC}",
                        "device": "torch-cpu"}, f)
 
-    ours = bench_jax()
+    # headline: the fused Pallas MC path (identical estimator semantics to
+    # the reference); fall back to the XLA MC path if the kernel cannot
+    # compile on this backend.
+    try:
+        ours = bench_jax("mc_fused")
+    except Exception as ex:
+        print(f"[bench] fused kernel unavailable ({type(ex).__name__}); "
+              "falling back to XLA MC path", file=sys.stderr)
+        ours = bench_jax("mc")
     print(json.dumps({
         "metric": "ensemble_energy_opt_steps_per_sec_B200_T2000_10dec",
         "value": round(ours, 3),

@@ -96,9 +96,7 @@ def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
             xall[m, pl.ds(8, Tc), :, :] = x.reshape(Tc, B, X)
 
         first_w = jnp.where(c == 0, 0.0, 1.0)
-        row0 = (jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0) == 0)
-        w_rows = jnp.where(row0, first_w, 1.0)               # (Tc, 1)
-        total = jnp.zeros((1, B), jnp.float32)
+        total = jnp.zeros((B,), jnp.float32)
         for s in range(S):
             dd1 = d1_ref[s, pl.ds(start, Tc), :]            # (Tc, B)
             dd2 = d2_ref[s, pl.ds(start, Tc), :]
@@ -112,8 +110,8 @@ def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
                 x2 = x2 + m2 * xa[8:8 + Tc]
             diff = x2 - x1
             seg = jnp.sum(diff * diff, axis=-1)              # (Tc, B)
-            total = total + jnp.sum(seg * w_rows, axis=0, keepdims=True)
-        out_ref[0:1, :] = out_ref[0:1, :] + total / S
+            total = total + jnp.sum(seg[1:], axis=0) + seg[0] * first_w
+        out_ref[0, :] = out_ref[0, :] + total / S
         for m in range(M):
             xall[m, 7, :, :] = xall[m, 7 + Tc, :, :]
         return 0
@@ -252,7 +250,8 @@ def _common(decoders, gamma):
     ws, bs = _stack_weights(decoders)
     M = ws[0].shape[0]
     X = ws[-1].shape[-1]
-    Tc = _pick_chunk(T, B, target_rows=2048)
+    # Tc >= 16 keeps offset value-slices at >= 8 sublanes (Mosaic limit)
+    Tc = _pick_chunk(T, B, target_rows=4096)
     return T, B, D, X, M, Tc, ws, bs
 
 

@@ -157,14 +157,12 @@ def _fwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
         se = sq_ext[:]
         cross = jnp.sum(xe[8:8 + Tc] * xe[7:7 + Tc], axis=-1)   # (Tc, B)
         seg = se[8:8 + Tc] + se[7:7 + Tc] - 2.0 * cross         # (Tc, B)
-        # weighted sum instead of seg[1:]-style value slices (Mosaic
-        # relayout of odd-sized slices is fragile): row 0 of chunk 0 is the
-        # invalid carry segment and gets weight 0.
-        row0 = (jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0) == 0)
+        # NOTE Mosaic constraint: offset value-slices need >= 8 sublanes
+        # (seg[1:] works for Tc >= 16; Tc=8 would produce an unsupported
+        # (7, B) relayout) — _pick_chunk guarantees Tc >= 16 when possible.
         first_w = jnp.where(c == 0, 0.0, 1.0)
-        w_rows = jnp.where(row0, first_w, 1.0)                   # (Tc, 1)
-        out_ref[0:1, :] = out_ref[0:1, :] + jnp.sum(seg * w_rows, axis=0,
-                                                    keepdims=True)
+        total = jnp.sum(seg[1:], axis=0) + seg[0] * first_w
+        out_ref[0, :] = out_ref[0, :] + total
         # carry last row into slot 7 for the next chunk
         xbar_ext[7, :, :] = xbar_ext[7 + Tc, :, :]
         sq_ext[7, :] = sq_ext[7 + Tc, :]
