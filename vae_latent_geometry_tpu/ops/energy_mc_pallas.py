@@ -78,6 +78,7 @@ def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
     b_refs = refs[D + 2 + n_layers:D + 2 + 2 * n_layers]
     out_ref = refs[D + 2 + 2 * n_layers]
     xall = refs[D + 2 + 2 * n_layers + 1]  # (M, Tc+8, B, X) scratch
+    seg_ref = refs[D + 2 + 2 * n_layers + 2]  # (Tc, B) scratch
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
@@ -96,7 +97,7 @@ def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
             xall[m, pl.ds(8, Tc), :, :] = x.reshape(Tc, B, X)
 
         first_w = jnp.where(c == 0, 0.0, 1.0)
-        total = jnp.zeros((B,), jnp.float32)
+        seg_total = jnp.zeros((Tc, B), jnp.float32)
         for s in range(S):
             dd1 = d1_ref[s, pl.ds(start, Tc), :]            # (Tc, B)
             dd2 = d2_ref[s, pl.ds(start, Tc), :]
@@ -109,8 +110,14 @@ def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
                 x1 = x1 + m1 * xa[7:7 + Tc]
                 x2 = x2 + m2 * xa[8:8 + Tc]
             diff = x2 - x1
-            seg = jnp.sum(diff * diff, axis=-1)              # (Tc, B)
-            total = total + jnp.sum(seg[1:], axis=0) + seg[0] * first_w
+            seg_total = seg_total + jnp.sum(diff * diff, axis=-1)
+        # roundtrip through scratch: the offset value-slice below needs a
+        # concrete (non-implicit-dim) layout, which a scratch read provides
+        # (same trick the expected-energy kernel gets for free via its carry
+        # buffers)
+        seg_ref[:, :] = seg_total
+        seg = seg_ref[:]
+        total = jnp.sum(seg[1:], axis=0) + seg[0] * first_w
         out_ref[0, :] = out_ref[0, :] + total / S
         for m in range(M):
             xall[m, 7, :, :] = xall[m, 7 + Tc, :, :]
@@ -213,7 +220,8 @@ def _build(kind, T, B, D, X, M, S, Tc, n_layers, dtype, interpret):
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
             * (D + 2 + 2 * n_layers),
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((M, Tc + 8, B, X), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((M, Tc + 8, B, X), jnp.float32),
+                            pltpu.VMEM((Tc, B), jnp.float32)],
             compiler_params=_compiler_params(),
             interpret=interpret,
         )
