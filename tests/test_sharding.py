@@ -85,3 +85,46 @@ def test_sharded_train_step(mesh8, rng):
     assert np.isfinite(float(loss))
     l1 = np.asarray(jax.tree_util.tree_leaves(p1)[0])
     assert not np.allclose(l0, l1)
+
+
+def test_sharded_fused_matches_single_device(mesh8, ensemble, rng):
+    """Fused Pallas modes run under shard_map over dp (interpret mode on the
+    CPU mesh) and match the single-device result."""
+    from vae_latent_geometry_tpu.ops.energy_pallas import fused_available
+
+    if not fused_available():
+        pytest.skip("pallas unavailable")
+    B = 6
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+
+    basis, _ = nullspace_basis(4)
+    omega0 = jnp.zeros((B, 5, 2))
+    cfg = GeodesicConfig(steps=20, lr=1e-2,
+                         energy=EnergyConfig(num_t=32, mode="expected_fused"))
+    res_shard = sharded_optimize_splines(ensemble, omega0, a, b, basis, cfg,
+                                         mesh8)
+    cfg_x = GeodesicConfig(steps=20, lr=1e-2,
+                           energy=EnergyConfig(num_t=32, mode="expected"))
+    res_single = optimize_splines(ensemble, omega0, a, b, basis, cfg_x)
+    np.testing.assert_allclose(np.asarray(res_shard.energy),
+                               np.asarray(res_single.energy), rtol=1e-3)
+
+
+def test_sharded_fused_mc_with_num_active(mesh8, ensemble, rng):
+    from vae_latent_geometry_tpu.ops.energy_pallas import fused_available
+
+    if not fused_available():
+        pytest.skip("pallas unavailable")
+    B = 8
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+
+    basis, _ = nullspace_basis(4)
+    cfg = GeodesicConfig(steps=8, energy=EnergyConfig(num_t=32, mode="mc_fused"))
+    res = sharded_optimize_splines(
+        ensemble, jnp.zeros((B, 5, 2)), a, b, basis, cfg, mesh8,
+        num_active=np.full(B, 2))
+    assert np.isfinite(np.asarray(res.energy)).all()

@@ -69,6 +69,10 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
     if mode == "expected":
         return energy_lib.energy_expected(decoders, gamma, num_active)
     if mode in ("expected_fused", "expected_fused_bf16"):
+        if num_active is not None:
+            raise ValueError(
+                "expected_fused has no per-spline active-decoder support; "
+                "use mode='expected' or 'mc_fused' for the CoV sweep")
         from vae_latent_geometry_tpu.ops.energy_pallas import (
             energy_expected_fused,
         )

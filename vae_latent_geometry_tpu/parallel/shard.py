@@ -51,7 +51,13 @@ def sharded_optimize_splines(
     decoders, omega0, a, b, basis, cfg: GeodesicConfig, mesh: Mesh,
     key=None, num_active=None,
 ) -> GeodesicResult:
-    """Drop-in sharded version of ``optim.geodesic.optimize_splines``."""
+    """Drop-in sharded version of ``optim.geodesic.optimize_splines``.
+
+    XLA energy modes partition via GSPMD (pairs over 'dp', ensemble over
+    'ep').  Fused Pallas modes cannot be GSPMD-partitioned (custom calls), so
+    they run under ``shard_map`` over 'dp' with the decoder weights
+    replicated per device (~1 MB — exactly the kernel's design point).
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     dp = mesh.shape["dp"]
@@ -60,20 +66,48 @@ def sharded_optimize_splines(
     b, _ = pad_to_multiple(np.asarray(b), dp)
     if num_active is not None:
         num_active, _ = pad_to_multiple(np.asarray(num_active), dp)
-        num_active = jax.device_put(jnp.asarray(num_active),
-                                    named_sharding(mesh, "dp"))
 
+    fused = "fused" in cfg.energy.mode
     batch_sh = named_sharding(mesh, "dp")
     omega0 = jax.device_put(jnp.asarray(omega0), batch_sh)
     a = jax.device_put(jnp.asarray(a), batch_sh)
     b = jax.device_put(jnp.asarray(b), batch_sh)
-    decoders = _shard_decoders(decoders, mesh)
+    if num_active is not None:
+        num_active = jax.device_put(jnp.asarray(num_active), batch_sh)
     basis = jax.device_put(jnp.asarray(basis), replicated(mesh))
 
-    with mesh:
-        omega, e_final, _ = _optimize_scan(
-            decoders, omega0, a, b, basis, key, cfg, False, num_active
+    if fused:
+        from jax.sharding import PartitionSpec as P
+
+        decoders = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)),
+            decoders)
+        dp_spec = P("dp")
+        rep = P()
+        has_na = num_active is not None
+
+        def per_shard(dec, om, a_, b_, bas, *na):
+            shard_key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+            om_out, e_out, _ = _optimize_scan(
+                dec, om, a_, b_, bas, shard_key, cfg, False,
+                na[0] if na else None)
+            return om_out, e_out
+
+        in_specs = (rep, dp_spec, dp_spec, dp_spec, rep) + (
+            (dp_spec,) if has_na else ())
+        fn = jax.shard_map(
+            per_shard, mesh=mesh, in_specs=in_specs,
+            out_specs=(dp_spec, dp_spec), check_vma=False,
         )
+        args = (decoders, omega0, a, b, basis) + (
+            (num_active,) if has_na else ())
+        omega, e_final = fn(*args)
+    else:
+        decoders = _shard_decoders(decoders, mesh)
+        with mesh:
+            omega, e_final, _ = _optimize_scan(
+                decoders, omega0, a, b, basis, key, cfg, False, num_active
+            )
     omega = np.asarray(omega)[:n]
     e_final = np.asarray(e_final)[:n]
     return GeodesicResult(omega=jnp.asarray(omega), energy=jnp.asarray(e_final),
