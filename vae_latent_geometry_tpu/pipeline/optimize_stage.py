@@ -98,23 +98,33 @@ def optimize_spline_batch(
         sl = slice(start, min(start + bs, P))
         if done[sl].all():
             continue
+        # pad a trailing partial chunk to the full batch size (edge
+        # replication) so the jitted program compiles exactly once per run —
+        # a fresh shape would recompile the whole scan (minutes on a remote-
+        # compile backend)
+        n_sl = sl.stop - sl.start
+        idx = np.arange(sl.start, sl.stop)
+        if n_sl < bs and P >= bs:
+            idx = np.concatenate([idx, np.full(bs - n_sl, sl.stop - 1)])
+        om0 = jnp.asarray(art.omega_init[idx])
+        a_sl = jnp.asarray(art.a[idx])
+        b_sl = jnp.asarray(art.b[idx])
         if mesh is not None:
             from vae_latent_geometry_tpu.parallel import (
                 sharded_optimize_splines,
             )
 
             res = sharded_optimize_splines(
-                energy_params, jnp.asarray(art.omega_init[sl]),
-                jnp.asarray(art.a[sl]), jnp.asarray(art.b[sl]),
+                energy_params, om0, a_sl, b_sl,
                 art.basis, cfg, mesh, key=jax.random.fold_in(key, start),
             )
         else:
             res = optimize_splines(
-                energy_params,
-                jnp.asarray(art.omega_init[sl]),
-                jnp.asarray(art.a[sl]), jnp.asarray(art.b[sl]),
+                energy_params, om0, a_sl, b_sl,
                 art.basis, cfg, key=jax.random.fold_in(key, start),
             )
+        res = res._replace(omega=res.omega[:n_sl], energy=res.energy[:n_sl],
+                           lengths=res.lengths[:n_sl])
         omega_opt[sl] = np.asarray(res.omega)
         if single:
             # legacy semantics: data-space arc length, not sqrt(energy)
