@@ -94,10 +94,10 @@ def optimize_spline_batch(
         eucl = np.linalg.norm(za - zb, axis=1).astype(np.float32)
 
     bs = cfg.batch_size
-    for start in range(0, P, bs):
+
+    def _submit(start):
+        """Enqueue one chunk's optimization (async dispatch)."""
         sl = slice(start, min(start + bs, P))
-        if done[sl].all():
-            continue
         # pad a trailing partial chunk to the full batch size (edge
         # replication) so the jitted program compiles exactly once per run —
         # a fresh shape would recompile the whole scan (minutes on a remote-
@@ -114,18 +114,29 @@ def optimize_spline_batch(
                 sharded_optimize_splines,
             )
 
-            res = sharded_optimize_splines(
+            return sharded_optimize_splines(
                 energy_params, om0, a_sl, b_sl,
                 art.basis, cfg, mesh, key=jax.random.fold_in(key, start),
             )
-        else:
-            res = optimize_splines(
-                energy_params, om0, a_sl, b_sl,
-                art.basis, cfg, key=jax.random.fold_in(key, start),
-            )
-        res = res._replace(omega=res.omega[:n_sl], energy=res.energy[:n_sl],
-                           lengths=res.lengths[:n_sl])
-        omega_opt[sl] = np.asarray(res.omega)
+        return optimize_splines(
+            energy_params, om0, a_sl, b_sl,
+            art.basis, cfg, key=jax.random.fold_in(key, start),
+        )
+
+    # Phase 1: enqueue every pending chunk (dispatch is async, the device
+    # queue runs them back-to-back). Phase 2: collect in order — host
+    # round-trip latency hides behind the remaining device work.
+    pending = [s for s in range(0, P, bs)
+               if not done[s:min(s + bs, P)].all()]
+    submitted = {s: _submit(s) for s in pending}
+    for start in pending:
+        sl = slice(start, min(start + bs, P))
+        n_sl = sl.stop - sl.start
+        res = submitted.pop(start)
+        om_np, e_np = jax.device_get((res.omega[:n_sl], res.energy[:n_sl]))
+        res = res._replace(omega=jnp.asarray(om_np), energy=jnp.asarray(e_np),
+                           lengths=jnp.sqrt(jnp.asarray(e_np)))
+        omega_opt[sl] = om_np
         if single:
             # legacy semantics: data-space arc length, not sqrt(energy)
             from vae_latent_geometry_tpu.geometry import energy as energy_lib
@@ -141,11 +152,11 @@ def optimize_spline_batch(
             lengths[sl] = np.asarray(
                 energy_lib.geodesic_lengths(energy_params, gamma))
         else:
-            lengths[sl] = np.asarray(res.lengths)
+            lengths[sl] = np.sqrt(e_np)
         done[sl] = True
         if log_every_chunk:
             print(f"[chunk {start // bs + 1}/{(P - 1) // bs + 1}] "
-                  f"mean energy {float(np.mean(np.asarray(res.energy))):.4f}")
+                  f"mean energy {float(np.mean(e_np)):.4f}")
         if checkpoint_path:
             partial = dataclasses.replace(
                 art, omega_optimized=omega_opt, geodesic_length=lengths,
