@@ -78,9 +78,13 @@ def _encode(params, x):
     from vae_latent_geometry_tpu.models.evae import encode as evae_encode
     from vae_latent_geometry_tpu.models.vae import encode as vae_encode
 
+    import jax
+
     if isinstance(params, EVAEParams):
-        return np.asarray(evae_encode(params, jnp.asarray(x))[0])
-    return np.asarray(vae_encode(params, jnp.asarray(x))[0])
+        return np.asarray(jax.jit(lambda v: evae_encode(params, v)[0])(
+            jnp.asarray(x)))
+    return np.asarray(jax.jit(lambda v: vae_encode(params, v)[0])(
+        jnp.asarray(x)))
 
 
 def _decoders_of(params):

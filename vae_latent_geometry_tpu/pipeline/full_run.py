@@ -51,7 +51,9 @@ def run_distance_pipeline(
 
     timings: Dict[str, float] = {}
     t0 = time.perf_counter()
-    z_mean, _ = evae_lib.encode(params, jnp.asarray(data))
+    # jit: un-jitted op-by-op dispatch pays a round trip per op on tunneled
+    # backends
+    z_mean = jax.jit(lambda x: evae_lib.encode(params, x)[0])(jnp.asarray(data))
     latents = np.asarray(z_mean)
     timings["encode"] = time.perf_counter() - t0
 
