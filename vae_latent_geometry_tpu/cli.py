@@ -81,10 +81,10 @@ def _encode(params, x):
     import jax
 
     if isinstance(params, EVAEParams):
-        return np.asarray(jax.jit(lambda v: evae_encode(params, v)[0])(
-            jnp.asarray(x)))
-    return np.asarray(jax.jit(lambda v: vae_encode(params, v)[0])(
-        jnp.asarray(x)))
+        return np.asarray(jax.jit(lambda p, v: evae_encode(p, v)[0])(
+            params, jnp.asarray(x)))
+    return np.asarray(jax.jit(lambda p, v: vae_encode(p, v)[0])(
+        params, jnp.asarray(x)))
 
 
 def _decoders_of(params):

@@ -151,7 +151,7 @@ def cov_analysis(
     eucl = np.zeros((len(models), P))
     data_j = jnp.asarray(data)
     for s, params in enumerate(models):
-        z_mean = jax.jit(lambda x: evae_lib.encode(params, x)[0])(data_j)
+        z_mean = jax.jit(lambda p, x: evae_lib.encode(p, x)[0])(params, data_j)
         za = np.asarray(z_mean[pairs[:, 0]])
         zb = np.asarray(z_mean[pairs[:, 1]])
         eucl[s] = np.linalg.norm(za - zb, axis=1)

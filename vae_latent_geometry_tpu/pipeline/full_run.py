@@ -53,7 +53,8 @@ def run_distance_pipeline(
     t0 = time.perf_counter()
     # jit: un-jitted op-by-op dispatch pays a round trip per op on tunneled
     # backends
-    z_mean = jax.jit(lambda x: evae_lib.encode(params, x)[0])(jnp.asarray(data))
+    z_mean = jax.jit(lambda p, x: evae_lib.encode(p, x)[0])(
+        params, jnp.asarray(data))
     latents = np.asarray(z_mean)
     timings["encode"] = time.perf_counter() - t0
 

@@ -86,11 +86,11 @@ def optimize_spline_batch(
         if single and not isinstance(params, evae_lib.EVAEParams):
             from vae_latent_geometry_tpu.models import vae as vae_lib
 
-            z_mean = jax.jit(lambda x: vae_lib.encode(params, x)[0])(
-                jnp.asarray(data))
+            z_mean = jax.jit(lambda p, x: vae_lib.encode(p, x)[0])(
+                params, jnp.asarray(data))
         else:
-            z_mean = jax.jit(lambda x: evae_lib.encode(params, x)[0])(
-                jnp.asarray(data))
+            z_mean = jax.jit(lambda p, x: evae_lib.encode(p, x)[0])(
+                params, jnp.asarray(data))
         za = np.asarray(z_mean)[art.pair_indices[:, 0]]
         zb = np.asarray(z_mean)[art.pair_indices[:, 1]]
         eucl = np.linalg.norm(za - zb, axis=1).astype(np.float32)
