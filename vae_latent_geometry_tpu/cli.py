@@ -223,11 +223,17 @@ def cmd_optimize(args):
         energy=EnergyConfig(num_t=args.num_t, mc_samples=args.mc_samples,
                             mode=args.energy_mode),
     )
+    mesh = None
+    if args.dp or args.ep > 1:
+        from vae_latent_geometry_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=args.dp, ep=args.ep)
+        print(f"[info] mesh {dict(mesh.shape)}")
     out = Path(args.output or
                f"experiment/splines_opt_{model_name}/"
                f"spline_batch_opt_{args.init_type}_{args.pair_count}.npz")
     res = optimize_spline_batch(params, art, data=data, cfg=cfg,
-                                checkpoint_path=str(out))
+                                checkpoint_path=str(out), mesh=mesh)
     save_spline_batch(res, str(out))
     print(f"[ok] optimized {len(res)} splines -> {out}")
 
@@ -283,7 +289,9 @@ def cmd_eval(args):
                 print(f"[warn] no checkpoint for seed {seed}; skipping")
         res = cov_analysis(models, seeds, data.x, pairs,
                            decoder_counts=list(range(1, 11)),
-                           steps=args.steps, num_t=args.num_t)
+                           steps=args.steps, num_t=args.num_t,
+                           mode=args.energy_mode,
+                           batch_size=args.batch_size)
         out = plot_dir / f"cov_values_alldec_{args.pair_count}.json"
         res.save(out)
         print(f"[ok] wrote {out}")
@@ -414,6 +422,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "single", "jvp", "jvp_ensemble"])
     o.add_argument("--no-euclidean", action="store_true",
                    help="skip encoder Euclidean distances (no data needed)")
+    o.add_argument("--dp", type=int, default=None,
+                   help="data-parallel mesh size (default: no mesh)")
+    o.add_argument("--ep", type=int, default=1,
+                   help="expert(ensemble)-parallel mesh size")
     o.add_argument("--output", default=None)
     o.set_defaults(fn=cmd_optimize)
 
@@ -432,6 +444,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--model-dir", default="experiment")
     e.add_argument("--steps", type=int, default=300)
     e.add_argument("--num-t", type=int, default=2000)
+    e.add_argument("--energy-mode", default="mc",
+                   choices=["mc", "mc_scan", "mc_fused", "expected"])
+    e.add_argument("--batch-size", type=int, default=None)
     e.set_defaults(fn=cmd_eval)
 
     pl_ = sub.add_parser("plot", help="latent-space visualizations")

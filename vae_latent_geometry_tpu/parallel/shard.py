@@ -16,7 +16,6 @@ Pairs are padded to a multiple of the dp size with edge replication
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
