@@ -165,13 +165,17 @@ def cov_analysis(
         bs = batch_size or (P * K)
         outs = []
         for start in range(0, P * K, bs):
-            sl = slice(start, min(start + bs, P * K))
+            stop = min(start + bs, P * K)
+            n_sl = stop - start
+            idx = np.arange(start, stop)
+            if n_sl < bs:  # pad: one compiled shape per run
+                idx = np.concatenate([idx, np.full(bs - n_sl, stop - 1)])
             res = optimize_splines(
-                params.decoders, omega0[sl], a[sl], b[sl], basis, cfg,
+                params.decoders, omega0[idx], a[idx], b[idx], basis, cfg,
                 key=jax.random.fold_in(key, s * 1000 + start),
-                num_active=num_active[sl],
+                num_active=num_active[idx],
             )
-            outs.append(np.asarray(res.lengths))
+            outs.append(np.asarray(res.lengths)[:n_sl])
         lengths[s] = np.concatenate(outs).reshape(P, K)
 
     raw_cov_geo = {int(k): compute_cov(lengths[:, :, i], axis=0)
