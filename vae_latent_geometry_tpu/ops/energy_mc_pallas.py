@@ -65,12 +65,6 @@ def _pad_indices(d, trailing: int = 0):
     return jnp.concatenate(parts, axis=1)
 
 
-def _decode_planes_acts(g_planes, ws, bs, m, dtype):
-    h1 = _first_layer(g_planes, ws[0][m], bs[0][m], dtype)
-    x, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True)
-    return x, h1, acts
-
-
 def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
     g_refs = refs[:D]
     d1_ref, d2_ref = refs[D], refs[D + 1]
