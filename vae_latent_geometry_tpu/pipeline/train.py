@@ -60,6 +60,55 @@ def _beta_at(cfg: TrainConfig, epoch):
     return jnp.minimum(1.0, epoch / cfg.beta_warmup_epochs)
 
 
+def make_block_fn(loss_fn: Callable, opt, batch_size: int, cfg: TrainConfig):
+    """Jitted multi-epoch training block: scans ``n_epochs`` epochs (shuffle,
+    batch scan, per-epoch val loss, beta warm-up by absolute epoch index)
+    inside ONE jit — one host round trip per block instead of per epoch
+    (significant on tunneled backends)."""
+
+    @partial(jax.jit, static_argnames=("n_epochs",))
+    def train_block(params, opt_state, key, train_x, val_x, epoch0,
+                    n_epochs: int):
+        n = train_x.shape[0]
+        n_batches = n // batch_size
+        vb = min(batch_size, val_x.shape[0])
+        v_batches = val_x.shape[0] // vb
+        val_b = val_x[: v_batches * vb].reshape(v_batches, vb, -1)
+
+        def epoch(carry, e_idx):
+            params, opt_state = carry
+            ekey = jax.random.fold_in(key, e_idx)
+            beta = (jnp.minimum(1.0, (epoch0 + e_idx) / cfg.beta_warmup_epochs)
+                    if cfg.beta_warmup_epochs > 0 else jnp.asarray(1.0))
+            perm = jax.random.permutation(jax.random.fold_in(ekey, 0), n)
+            batches = train_x[perm[: n_batches * batch_size]].reshape(
+                n_batches, batch_size, -1)
+
+            def step(c, inp):
+                p, o = c
+                x, k = inp
+                loss, grads = jax.value_and_grad(loss_fn)(p, k, x, beta)
+                updates, o = opt.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            keys = jax.random.split(jax.random.fold_in(ekey, 1), n_batches)
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (batches, keys))
+
+            vkeys = jax.random.split(jax.random.fold_in(ekey, 2), v_batches)
+            vlosses = jax.lax.scan(
+                lambda c, inp: (c, loss_fn(params, inp[1], inp[0],
+                                           jnp.asarray(1.0))),
+                None, (val_b, vkeys))[1]
+            return (params, opt_state), (jnp.mean(losses), jnp.mean(vlosses))
+
+        (params, opt_state), (tl, vl) = jax.lax.scan(
+            epoch, (params, opt_state), jnp.arange(n_epochs))
+        return params, opt_state, tl, vl
+
+    return train_block
+
+
 def make_epoch_fn(loss_fn: Callable, opt, batch_size: int):
     """Build jitted train-epoch and eval-epoch functions.
 
@@ -110,8 +159,13 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
                model_cfg: ModelConfig = ModelConfig(),
                params: Optional[evae_lib.EVAEParams] = None,
                log_every: int = 10,
-               callback: Optional[Callable] = None) -> TrainResult:
-    """Train the ensemble VAE (reference ``src/train.py``)."""
+               callback: Optional[Callable] = None,
+               block_epochs: int = 20) -> TrainResult:
+    """Train the ensemble VAE (reference ``src/train.py``).
+
+    Runs in jitted multi-epoch blocks (``block_epochs`` per device call);
+    no best-val tracking is needed for this family (the reference saves the
+    final state only, src/train.py:165)."""
     key = jax.random.PRNGKey(cfg.seed)
     init_key, train_key = jax.random.split(key)
     if params is None:
@@ -125,10 +179,30 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
     opt_state = opt.init(params)
 
     loss_fn = lambda p, k, x, beta: evae_lib.neg_elbo(p, k, x, model_cfg)
-    train_epoch, eval_epoch = make_epoch_fn(loss_fn, opt, cfg.batch_size)
+    train_block = make_block_fn(loss_fn, opt, cfg.batch_size, cfg)
 
-    return _run_loop(params, opt_state, train_epoch, eval_epoch, train_key,
-                     train_x, val_x, cfg, log_every, callback)
+    train_losses, val_losses = [], []
+    epoch = 0
+    while epoch < cfg.epochs:
+        n_ep = min(block_epochs, cfg.epochs - epoch)
+        params, opt_state, tl, vl = train_block(
+            params, opt_state, jax.random.fold_in(train_key, epoch),
+            train_x, val_x, epoch, n_ep)
+        tl, vl = np.asarray(tl), np.asarray(vl)
+        train_losses.extend(tl.tolist())
+        val_losses.extend(vl.tolist())
+        if log_every:
+            print(f"epoch {epoch + n_ep:4d} | train {tl[-1]:10.3f} "
+                  f"| val {vl[-1]:10.3f}")
+        if callback is not None:
+            callback(epoch + n_ep - 1, params, float(tl[-1]), float(vl[-1]))
+        epoch += n_ep
+    return TrainResult(
+        params=params, best_params=params,
+        train_losses=np.asarray(train_losses),
+        val_losses=np.asarray(val_losses),
+        best_val_loss=float(val_losses[-1]) if val_losses else float("inf"),
+    )
 
 
 def train_single_vae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
