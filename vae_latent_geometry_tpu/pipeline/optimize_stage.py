@@ -106,7 +106,8 @@ def optimize_spline_batch(
         # compile backend)
         n_sl = sl.stop - sl.start
         idx = np.arange(sl.start, sl.stop)
-        if n_sl < bs and P >= bs:
+        if n_sl < bs:  # always pad to the canonical batch size: a novel
+            # shape recompiles the whole scan (minutes on remote compile)
             idx = np.concatenate([idx, np.full(bs - n_sl, sl.stop - 1)])
         om0 = jnp.asarray(art.omega_init[idx])
         a_sl = jnp.asarray(art.a[idx])
