@@ -112,3 +112,40 @@ def test_evae_sample():
     assert s.shape == (5, 7)
     s0 = sample(params, jax.random.PRNGKey(1), n=5, cfg=mcfg, decoder_idx=0)
     assert s0.shape == (5, 7)
+
+
+def test_reference_blob_roundtrip(tmp_path, rng):
+    """artifact -> reference .pt blob -> artifact is lossless."""
+    from vae_latent_geometry_tpu.io.artifacts import to_reference_blob
+
+    art = SplineBatchArtifact(
+        a=rng.normal(size=(3, 2)).astype(np.float32),
+        b=rng.normal(size=(3, 2)).astype(np.float32),
+        omega_init=rng.normal(size=(3, 5, 2)).astype(np.float32),
+        basis=rng.normal(size=(16, 5)).astype(np.float32), n_poly=4,
+        pair_indices=np.array([[0, 1], [0, 2], [1, 2]]),
+        valid=np.ones(3, bool), pair_labels=[["a", "b"], ["a", "c"], ["b", "c"]],
+        representatives=[{"index": 0, "label": "a"},
+                         {"index": 1, "label": "b"},
+                         {"index": 2, "label": "c"}],
+        omega_optimized=rng.normal(size=(3, 5, 2)).astype(np.float32),
+        geodesic_length=np.array([1.0, 2.0, 3.0], np.float32),
+        euclidean_distance=np.array([0.1, 0.2, 0.3], np.float32),
+        metadata={"steps": 7},
+    )
+    path = str(tmp_path / "blob.pt")
+    to_reference_blob(art, path)
+
+    import torch
+
+    blob = torch.load(path)
+    assert len(blob["spline_data"]) == 3
+    assert blob["spline_data"][0]["a_label"] == "a"
+    back = from_reference_blob(
+        {k: ([{kk: (vv.numpy() if hasattr(vv, "numpy") else vv)
+               for kk, vv in d.items()} for d in v] if k == "spline_data" else v)
+         for k, v in blob.items()})
+    np.testing.assert_allclose(back.a, art.a)
+    np.testing.assert_allclose(back.omega_optimized, art.omega_optimized)
+    np.testing.assert_allclose(back.geodesic_length, art.geodesic_length)
+    assert back.metadata["steps"] == 7

@@ -82,6 +82,45 @@ def load_spline_batch(path: str) -> SplineBatchArtifact:
     )
 
 
+def to_reference_blob(art: SplineBatchArtifact, path: Optional[str] = None):
+    """Export an artifact in the reference's torch blob schema
+    (``src/optimize.py:190-201``) so upstream tooling can consume results
+    produced here.  Returns the blob dict; writes it with torch.save when a
+    path is given."""
+    import torch
+
+    spline_data = []
+    for p in range(len(art)):
+        d = {
+            "a": torch.from_numpy(np.asarray(art.a[p])),
+            "b": torch.from_numpy(np.asarray(art.b[p])),
+            "a_index": int(art.pair_indices[p, 0]),
+            "b_index": int(art.pair_indices[p, 1]),
+            "a_label": str(art.pair_labels[p][0]),
+            "b_label": str(art.pair_labels[p][1]),
+            "n_poly": int(art.n_poly),
+            "basis": torch.from_numpy(np.asarray(art.basis)),
+            "omega_init": torch.from_numpy(np.asarray(art.omega_init[p])),
+        }
+        if art.omega_optimized is not None:
+            d["omega_optimized"] = torch.from_numpy(
+                np.asarray(art.omega_optimized[p]))
+        if art.geodesic_length is not None:
+            d["geodesic_length"] = float(art.geodesic_length[p])
+        if art.euclidean_distance is not None:
+            d["euclidean_distance"] = float(art.euclidean_distance[p])
+        spline_data.append(d)
+    blob = {
+        "spline_data": spline_data,
+        "representatives": art.representatives,
+        "pairs": [[int(i), int(j)] for i, j in art.pair_indices],
+        "metadata": dict(art.metadata),
+    }
+    if path is not None:
+        torch.save(blob, path)
+    return blob
+
+
 def from_reference_blob(blob: dict) -> SplineBatchArtifact:
     """Convert a loaded reference .pt blob (``torch_import.load_spline_blob``)
     into the columnar artifact."""
