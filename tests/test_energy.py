@@ -239,3 +239,54 @@ def test_mc_scan_grad_finite(rng):
     g = jax.grad(lambda x: jnp.sum(
         E.energy_mc_scan(decs, x, jax.random.PRNGKey(0), chunk=8)))(gamma)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@requires_reference
+def test_energy_parity_vs_torch_forward():
+    """Discrete single-decoder energy computed with torch ops vs our
+    energy_single on the SAME imported decoder and curve: 1e-4 rel."""
+    import torch
+    import torch.nn.functional as F
+
+    from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
+
+    sd = torch.load("/root/reference/experiment/model_seed12.pt",
+                    map_location="cpu")
+    params = load_evae_checkpoint("/root/reference/experiment/model_seed12.pt")
+    dec0 = jax.tree_util.tree_map(lambda x: x[0], params.decoders)
+
+    rng_l = np.random.default_rng(77)
+    gamma_np = (rng_l.normal(size=(512, 3, 2)) * 1.5).astype(np.float32)
+
+    # torch evaluation
+    g = torch.from_numpy(gamma_np.reshape(-1, 2))
+    h = F.relu(F.linear(g, sd["decoder.0.decoder_net.0.weight"],
+                        sd["decoder.0.decoder_net.0.bias"]))
+    h = F.relu(F.linear(h, sd["decoder.0.decoder_net.2.weight"],
+                        sd["decoder.0.decoder_net.2.bias"]))
+    x = F.linear(h, sd["decoder.0.decoder_net.4.weight"],
+                 sd["decoder.0.decoder_net.4.bias"]).reshape(512, 3, 50)
+    diffs = x[1:] - x[:-1]
+    e_torch = diffs.pow(2).sum(dim=2).sum(dim=0).numpy()
+
+    e_ours = np.asarray(E.energy_single(dec0, jnp.asarray(gamma_np)))
+    np.testing.assert_allclose(e_ours, e_torch, rtol=1e-4)
+
+    # MC ensemble energy with FIXED indices: torch gather vs fused-equivalent
+    from vae_latent_geometry_tpu.models.evae import decode_all
+
+    d1 = rng_l.integers(0, 10, size=(1, 511, 3)).astype(np.int32)
+    d2 = rng_l.integers(0, 10, size=(1, 511, 3)).astype(np.int32)
+    decoded = np.asarray(decode_all(params.decoders, jnp.asarray(gamma_np)))
+    it = np.arange(511)[:, None]
+    ib = np.arange(3)[None, :]
+    x1 = decoded[d1[0], it, ib]
+    x2 = decoded[d2[0], it + 1, ib]
+    e_np = ((x2 - x1) ** 2).sum(axis=2).sum(axis=0)
+
+    from vae_latent_geometry_tpu.ops.energy_mc_pallas import energy_mc_fused
+
+    e_fused = np.asarray(energy_mc_fused(
+        params.decoders, jnp.asarray(gamma_np),
+        jnp.asarray(d1), jnp.asarray(d2)))
+    np.testing.assert_allclose(e_fused, e_np, rtol=1e-4)
