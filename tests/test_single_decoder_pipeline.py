@@ -104,3 +104,52 @@ def test_golden_single_decoder_optimization():
     rel = np.abs(ours - stored) / stored
     assert np.median(rel) < 0.02, f"median rel {np.median(rel):.4f}"
     assert np.corrcoef(ours, stored)[0, 1] > 0.99
+
+
+def test_optimize_stage_resume(tmp_path, rng):
+    """Interrupting after a partial run and re-invoking resumes from the
+    per-chunk checkpoint instead of recomputing finished chunks."""
+    import dataclasses
+
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.io.artifacts import (
+        SplineBatchArtifact,
+        load_spline_batch,
+        save_spline_batch,
+    )
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    params = vae_init(jax.random.PRNGKey(4))
+    basis, _ = nullspace_basis(4)
+    P = 6
+    art = SplineBatchArtifact(
+        a=rng.normal(size=(P, 2)).astype(np.float32),
+        b=rng.normal(size=(P, 2)).astype(np.float32),
+        omega_init=np.zeros((P, 5, 2), np.float32),
+        basis=basis, n_poly=4,
+        pair_indices=np.arange(2 * P).reshape(P, 2),
+        valid=np.ones(P, bool), pair_labels=[["a", "b"]] * P,
+        representatives=[],
+    )
+    ckpt = str(tmp_path / "opt.npz")
+    cfg = GeodesicConfig(steps=20, batch_size=3,
+                         energy=EnergyConfig(num_t=48, mode="single"))
+    full = optimize_spline_batch(params, art, cfg=cfg, checkpoint_path=ckpt,
+                                 log_every_chunk=False)
+
+    # simulate a crash after chunk 1: blank out chunk 2's results
+    partial = load_spline_batch(ckpt)
+    glen = np.array(partial.geodesic_length)
+    glen[3:] = np.nan
+    save_spline_batch(dataclasses.replace(partial, geodesic_length=glen), ckpt)
+
+    resumed = optimize_spline_batch(params, art, cfg=cfg,
+                                    checkpoint_path=ckpt,
+                                    log_every_chunk=False)
+    # chunk 1 untouched (identical to first run), chunk 2 recomputed
+    np.testing.assert_allclose(resumed.omega_optimized[:3],
+                               full.omega_optimized[:3])
+    np.testing.assert_allclose(resumed.geodesic_length[3:],
+                               full.geodesic_length[3:], rtol=1e-5)
