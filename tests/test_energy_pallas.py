@@ -103,3 +103,29 @@ def test_fused_mode_in_optimizer(rng):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(rf.omega), np.asarray(rx.omega),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_vmem_guard_falls_back_for_huge_batches(rng):
+    """Oversized batches route to the XLA path instead of a doomed compile."""
+    from vae_latent_geometry_tpu.ops.energy_pallas import fused_fits
+
+    assert fused_fits(2000, 200, 2, 50, 10, mc=False)
+    assert fused_fits(2000, 200, 2, 50, 10, mc=True)
+    assert not fused_fits(2000, 400, 2, 50, 10, mc=True)
+    # the optimizer still works (falls back silently) at a huge batch
+    from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
+
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 50, (128, 128))
+        for k in jax.random.split(jax.random.PRNGKey(0), 10)
+    ])
+    B = 4096  # way over the kernel budget at T=2000... use small T for speed
+    B, T = 600, 2000
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    basis, _ = nullspace_basis(4)
+    cfg = GeodesicConfig(steps=2, energy=EnergyConfig(num_t=16, mode="mc_fused"))
+    res = optimize_splines(decs, jnp.zeros((B, 5, 2)), a, b, basis, cfg)
+    assert np.isfinite(np.asarray(res.energy)).all()

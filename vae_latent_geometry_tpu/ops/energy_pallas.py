@@ -267,6 +267,20 @@ def _is_tpu() -> bool:
         return False
 
 
+def fused_fits(T, B, D, X, M, mc: bool = False, mc_samples: int = 2) -> bool:
+    """Whether the fused kernels fit this chip's VMEM for these shapes.
+
+    Empirically calibrated on v5e (128 MB vmem space): the reference
+    workload (T=2000, B=200, X=50, M=10) compiles and runs for both kernels;
+    B=400 at the same T fails XLA's scoped-vmem accounting (measured
+    141.8 MB > 128 MB) even though a naive buffer model predicts ~30 MB —
+    Mosaic's stack accounting is opaque, so the guard is conservative.
+    Oversized calls fall back to the XLA energy paths (same semantics)."""
+    if D > 2 or X > 64 or M > 16:
+        return False
+    return B * T <= 200 * 2048 and B <= 256
+
+
 def _gamma_planes(gamma):
     T, B, D = gamma.shape
     return [gamma[:, :, d] for d in range(D)]

@@ -59,9 +59,15 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
             energy_mc_fused,
             sample_decoder_indices,
         )
+        from vae_latent_geometry_tpu.ops.energy_pallas import fused_fits
 
-        T, B, _ = gamma.shape
+        T, B, D = gamma.shape
         m_dec = jax.tree_util.tree_leaves(decoders)[0].shape[0]
+        X = decoders["layers"][-1]["w"].shape[-1]
+        if not fused_fits(T, B, D, X, m_dec, mc=True, mc_samples=mc_samples):
+            # batch too large for VMEM-resident kernel: XLA fallback
+            return energy_lib.energy_mc(decoders, gamma, key, mc_samples,
+                                        num_active)
         d1, d2 = sample_decoder_indices(key, T, B, m_dec, mc_samples,
                                         num_active)
         precision = "bfloat16" if mode.endswith("bf16") else "float32"
@@ -75,8 +81,14 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
                 "use mode='expected' or 'mc_fused' for the CoV sweep")
         from vae_latent_geometry_tpu.ops.energy_pallas import (
             energy_expected_fused,
+            fused_fits,
         )
 
+        T, B, D = gamma.shape
+        m_dec = jax.tree_util.tree_leaves(decoders)[0].shape[0]
+        X = decoders["layers"][-1]["w"].shape[-1]
+        if not fused_fits(T, B, D, X, m_dec, mc=False):
+            return energy_lib.energy_expected(decoders, gamma, num_active)
         precision = "bfloat16" if mode.endswith("bf16") else "float32"
         return energy_expected_fused(decoders, gamma, precision)
     if mode == "jvp":
