@@ -290,3 +290,32 @@ def test_energy_parity_vs_torch_forward():
         params.decoders, jnp.asarray(gamma_np),
         jnp.asarray(d1), jnp.asarray(d2)))
     np.testing.assert_allclose(e_fused, e_np, rtol=1e-4)
+
+
+def test_jvp_ensemble_matches_expected_at_high_T(rng):
+    """energy_jvp_ensemble (JVP of the mean decoder + disagreement term) is
+    the T->inf limit of energy_expected."""
+    from vae_latent_geometry_tpu.models import nets
+    from vae_latent_geometry_tpu.models.evae import stack_decoders
+    from vae_latent_geometry_tpu.geometry.spline import (
+        design_matrix_derivative,
+        eval_spline_velocity,
+    )
+
+    basis, _ = nullspace_basis(4)
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 12, (24, 24))
+        for k in jax.random.split(jax.random.PRNGKey(2), 4)
+    ])
+    omega = jnp.asarray(rng.normal(size=(2, 5, 2)) * 0.3, jnp.float32)
+    a = jnp.asarray(rng.normal(size=(2, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(2, 2)), jnp.float32)
+    T = 4000
+    t = jnp.linspace(0.0, 1.0, T)
+    phi = design_matrix(t, jnp.asarray(basis), 4)
+    dphi = design_matrix_derivative(t, jnp.asarray(basis), 4)
+    gamma = eval_spline_design(omega, a, b, phi, t)
+    vel = eval_spline_velocity(omega, a, b, dphi)
+    e_exp = np.asarray(E.energy_expected(decs, gamma))
+    e_jvp = np.asarray(E.energy_jvp_ensemble(decs, gamma, vel))
+    np.testing.assert_allclose(e_jvp, e_exp, rtol=2e-2)

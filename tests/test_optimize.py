@@ -164,3 +164,21 @@ def test_golden_end_to_end_pairs10():
     assert np.median(rel) < 0.10, f"median rel dev {np.median(rel):.4f}"
     corr = np.corrcoef(lengths, stored)[0, 1]
     assert corr > 0.97, f"length correlation {corr:.4f}"
+
+
+def test_mc_scan_mode_in_optimizer(toy_problem):
+    """mc_scan energy mode runs in the optimizer (memory-flat MC)."""
+    from vae_latent_geometry_tpu.models.evae import stack_decoders
+    from vae_latent_geometry_tpu.models import nets
+
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 16, (32, 32))
+        for k in jax.random.split(jax.random.PRNGKey(0), 3)
+    ])
+    _, a, b, basis, omega0 = toy_problem
+    cfg = _small_cfg(steps=30, energy={"mode": "mc_scan", "num_t": 96})
+    res = optimize_splines(decs, omega0, a, b, basis, cfg,
+                           key=jax.random.PRNGKey(2), record_history=True)
+    hist = np.asarray(res.energy_history)
+    assert np.isfinite(hist).all()
+    assert hist[-1].mean() < hist[0].mean()
