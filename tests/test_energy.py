@@ -207,9 +207,11 @@ def test_mc_scan_matches_mc_statistically(rng):
     ])
     gamma = jnp.asarray(rng.normal(size=(60, 5, 2)), jnp.float32)
     exp = np.asarray(E.energy_expected(decs, gamma))
-    draws = [np.asarray(E.energy_mc_scan(decs, gamma, jax.random.PRNGKey(i),
-                                         mc_samples=1, chunk=12))
-             for i in range(150)]
+    # jit once (the un-jitted call re-traces the whole chunked scan per draw,
+    # which made this test dominate the suite wall clock)
+    draw = jax.jit(lambda k: E.energy_mc_scan(decs, gamma, k,
+                                              mc_samples=1, chunk=12))
+    draws = [np.asarray(draw(jax.random.PRNGKey(i))) for i in range(150)]
     np.testing.assert_allclose(np.mean(draws, axis=0), exp, rtol=0.05)
 
 

@@ -59,12 +59,15 @@ def test_forward_matches_xla_energy_mc_distribution(setup, rng):
 
     decs, gamma, _, _ = setup
     exp = np.asarray(E.energy_expected(decs, gamma))
+    # jit once: each un-jitted call rebuilds + re-traces the pallas_call
+    # (interpret mode), which made this test dominate the suite wall clock.
+    fused = jax.jit(lambda d1, d2: energy_mc_fused(decs, gamma, d1, d2))
     draws = []
     for i in range(60):
         d1, d2 = sample_decoder_indices(jax.random.PRNGKey(100 + i),
                                         gamma.shape[0], gamma.shape[1], 5,
                                         mc_samples=1)
-        draws.append(np.asarray(energy_mc_fused(decs, gamma, d1, d2)))
+        draws.append(np.asarray(fused(d1, d2)))
     np.testing.assert_allclose(np.mean(draws, axis=0), exp, rtol=0.08)
 
 

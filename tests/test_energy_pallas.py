@@ -73,8 +73,73 @@ def test_uneven_chunking(rng):
 def test_bfloat16_mode_close(setup):
     decs, gamma = setup
     e_ref = np.asarray(E.energy_expected(decs, gamma))
-    e_bf = np.asarray(energy_expected_fused(decs, gamma, "bfloat16"))
+    e_bf = np.asarray(energy_expected_fused(decs, gamma, None, "bfloat16"))
     np.testing.assert_allclose(e_bf, e_ref, rtol=3e-2)
+
+
+def test_num_active_weights_match_xla(setup, rng):
+    """Per-spline first-k-decoder weight planes (the CoV sweep) match the
+    XLA masked-mean path, forward and backward."""
+    from vae_latent_geometry_tpu.ops.energy_pallas import active_weights
+
+    decs, gamma = setup
+    B = gamma.shape[1]
+    num_active = jnp.asarray(rng.integers(1, 5, size=(B,)), jnp.int32)
+    wmb = active_weights(num_active, 4, B)
+    e_ref = np.asarray(E.energy_expected(decs, gamma, num_active))
+    e_fused = np.asarray(energy_expected_fused(decs, gamma, wmb))
+    np.testing.assert_allclose(e_fused, e_ref, rtol=1e-5)
+    g_ref = jax.grad(
+        lambda g: jnp.sum(E.energy_expected(decs, g, num_active)))(gamma)
+    g_fused = jax.grad(
+        lambda g: jnp.sum(energy_expected_fused(decs, g, wmb)))(gamma)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_batch_grid_large_B(rng):
+    """The B-axis grid covers batches past the old 256 cliff (the reference
+    single-decoder config is B=500) including non-multiples of the block."""
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 10, (16,))
+        for k in jax.random.split(jax.random.PRNGKey(2), 3)
+    ])
+    for B in (500, 1024):
+        gamma = jnp.asarray(rng.normal(size=(48, B, 2)), jnp.float32)
+        e_ref = np.asarray(E.energy_expected(decs, gamma))
+        e_fused = np.asarray(energy_expected_fused(decs, gamma))
+        np.testing.assert_allclose(e_fused, e_ref, rtol=1e-5, err_msg=f"B={B}")
+        w = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+        g_ref = jax.grad(
+            lambda g: jnp.sum(w * E.energy_expected(decs, g)))(gamma)
+        g_fused = jax.grad(
+            lambda g: jnp.sum(w * energy_expected_fused(decs, g)))(gamma)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-4, err_msg=f"B={B}")
+
+
+def test_single_fused_mode_matches_single(rng):
+    """mode='single_fused' (expected kernel, M=1 fast path) == mode='single'."""
+    from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
+
+    dec = nets.decoder_init(jax.random.PRNGKey(3), 2, 50, (128, 128))
+    B = 5
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    basis, _ = nullspace_basis(4)
+    omega0 = jnp.zeros((B, 5, 2))
+    cfg_f = GeodesicConfig(steps=30, lr=1e-2,
+                           energy=EnergyConfig(num_t=32, mode="single_fused"))
+    cfg_x = GeodesicConfig(steps=30, lr=1e-2,
+                           energy=EnergyConfig(num_t=32, mode="single"))
+    rf = optimize_splines(dec, omega0, a, b, basis, cfg_f)
+    rx = optimize_splines(dec, omega0, a, b, basis, cfg_x)
+    np.testing.assert_allclose(np.asarray(rf.energy), np.asarray(rx.energy),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rf.omega), np.asarray(rx.omega),
+                               rtol=1e-3, atol=1e-5)
 
 
 def test_fused_mode_in_optimizer(rng):
@@ -105,24 +170,31 @@ def test_fused_mode_in_optimizer(rng):
                                rtol=1e-3, atol=1e-5)
 
 
-def test_vmem_guard_falls_back_for_huge_batches(rng):
-    """Oversized batches route to the XLA path instead of a doomed compile."""
+def test_shape_guard_falls_back(rng):
+    """Shapes the kernel can't lay out route to the XLA path instead of a
+    doomed compile.  The old empirical B <= 256 cliff is gone (B is gridded):
+    the reference's B=500 and B=1024 now fit."""
     from vae_latent_geometry_tpu.ops.energy_pallas import fused_fits
 
     assert fused_fits(2000, 200, 2, 50, 10, mc=False)
     assert fused_fits(2000, 200, 2, 50, 10, mc=True)
-    assert not fused_fits(2000, 400, 2, 50, 10, mc=True)
-    # the optimizer still works (falls back silently) at a huge batch
+    assert fused_fits(2000, 400, 2, 50, 10, mc=True)
+    assert fused_fits(2000, 500, 2, 50, 10, mc=False)  # reference B=500
+    assert fused_fits(2000, 1024, 2, 50, 10, mc=True)
+    assert not fused_fits(2000, 200, 3, 50, 10)    # D > 2: no plane layout
+    assert not fused_fits(2000, 200, 2, 256, 10)   # X too wide for chunks
+    assert not fused_fits(2000, 200, 2, 50, 32)    # ensemble too large
+    assert not fused_fits(1999, 200, 2, 50, 10)    # prime T: no aligned chunk
+    # the optimizer still works (falls back silently) on unlayoutable shapes
     from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
     from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
     from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
 
     decs = stack_decoders([
         nets.decoder_init(k, 2, 50, (128, 128))
-        for k in jax.random.split(jax.random.PRNGKey(0), 10)
+        for k in jax.random.split(jax.random.PRNGKey(0), 18)  # M=18 > 16
     ])
-    B = 4096  # way over the kernel budget at T=2000... use small T for speed
-    B, T = 600, 2000
+    B = 12
     a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
     b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
     basis, _ = nullspace_basis(4)

@@ -33,27 +33,44 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from vae_latent_geometry_tpu.ops.energy_pallas import (
+    _cast_ws,
     _compiler_params,
     _first_layer,
     _gamma_planes,
     _gamma_planes_padded,
     _is_tpu,
+    _pad_b,
+    _pick_bb,
     _pick_chunk,
+    _round_up,
+    _specs_for,
     _stack_weights,
     _tail_layers,
 )
+
+
+def _rbg_bits(key, shape):
+    """Uniform uint32 bits via the fast RBG generator.
+
+    Threefry bit generation dominated the sampled-energy step on TPU (14 ms
+    at the reference workload — as long as the entire fused energy+grad).
+    One tiny threefry call derives an RBG key; the bulk bits then come from
+    XLA's hardware RngBitGenerator."""
+    try:
+        seed_words = jax.random.bits(key, (4,), jnp.uint32)
+        rbg_key = jax.random.wrap_key_data(seed_words, impl="rbg")
+        return jax.random.bits(rbg_key, shape, jnp.uint32)
+    except Exception:  # pragma: no cover - older jax without rbg wrap
+        return jax.random.bits(key, shape, jnp.uint32)
 
 
 def sample_decoder_indices(key, T: int, B: int, m_dec: int,
                            mc_samples: int = 2, num_active=None):
     """(d1, d2): (S, T-1, B) int32 decoder draws, U[0, num_active_b).
 
-    PRNG bit generation dominates the sampled-energy step on TPU (threefry
-    for 4 x (T-1, B) int32 draws measured 14 ms at the reference workload —
-    as long as the entire fused energy+grad).  When the per-draw range fits,
-    several independent dice are extracted from ONE random word as base-k
-    digits (k^n_dice <= 2^31 keeps the modulo bias < 1e-5), cutting the
-    number of generated words by n_dice.
+    When the per-draw range fits, several independent dice are extracted
+    from ONE random word as base-k digits (k^n_dice <= 2^31 keeps the modulo
+    bias < 1e-5), cutting the number of generated words by n_dice.
     """
     maxval = (jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
               if num_active is not None else
@@ -67,7 +84,7 @@ def sample_decoder_indices(key, T: int, B: int, m_dec: int,
         dice_per_word += 1
     n_words = -(-n_draws // dice_per_word)
 
-    bits = jax.random.bits(key, (n_words, T - 1, B), jnp.uint32)
+    bits = _rbg_bits(key, (n_words, T - 1, B))
     val = (bits >> 1).astype(jnp.int32)          # 31 uniform bits
     mv = maxval[None, None, :]
     draws = []
@@ -230,32 +247,40 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def _build(kind, T, B, D, X, M, S, Tc, n_layers, dtype, interpret):
+def _build(kind, T, B, Bb, D, X, M, S, Tc, n_layers, dtype, interpret, ws, bs):
+    n_blocks = B // Bb
     if kind == "fwd":
-        kernel = functools.partial(_fwd_kernel, T=T, B=B, D=D, X=X, M=M, S=S,
+        kernel = functools.partial(_fwd_kernel, T=T, B=Bb, D=D, X=X, M=M, S=S,
                                    Tc=Tc, n_layers=n_layers, dtype=dtype)
+        g_spec = pl.BlockSpec((T, Bb), lambda i: (0, i))
+        idx_spec = pl.BlockSpec((S, T, Bb), lambda i: (0, 0, i))
         return pl.pallas_call(
             kernel,
+            grid=(n_blocks,),
             out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-            * (D + 2 + 2 * n_layers),
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((M, Tc + 8, B, X), jnp.float32),
-                            pltpu.VMEM((Tc, B), jnp.float32)],
+            in_specs=[g_spec] * D + [idx_spec] * 2 + _specs_for(ws, bs),
+            out_specs=pl.BlockSpec((1, Bb), lambda i: (0, i)),
+            scratch_shapes=[pltpu.VMEM((M, Tc + 8, Bb, X), jnp.float32),
+                            pltpu.VMEM((Tc, Bb), jnp.float32)],
             compiler_params=_compiler_params(),
             interpret=interpret,
         )
-    kernel = functools.partial(_bwd_kernel, T=T, B=B, D=D, X=X, M=M, S=S,
+    kernel = functools.partial(_bwd_kernel, T=T, B=Bb, D=D, X=X, M=M, S=S,
                                Tc=Tc, n_layers=n_layers, dtype=dtype)
+    g_spec = pl.BlockSpec((T + 8, Bb), lambda i: (0, i))
+    idx_spec = pl.BlockSpec((S, T + 8, Bb), lambda i: (0, 0, i))
+    ct_spec = pl.BlockSpec((1, Bb), lambda i: (0, i))
+    dg_spec = pl.BlockSpec((T, Bb), lambda i: (0, i))
     return pl.pallas_call(
         kernel,
+        grid=(n_blocks,),
         out_shape=[jax.ShapeDtypeStruct((T, B), jnp.float32)] * D,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        * (D + 3 + 2 * n_layers),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * D,
+        in_specs=[g_spec] * D + [idx_spec] * 2 + [ct_spec]
+        + _specs_for(ws, bs),
+        out_specs=[dg_spec] * D,
         scratch_shapes=[
-            pltpu.VMEM((M, Tc + 8, B, X), jnp.float32),
-            pltpu.VMEM((S, Tc + 8, B, X), jnp.float32),
+            pltpu.VMEM((M, Tc + 8, Bb, X), jnp.float32),
+            pltpu.VMEM((S, Tc + 8, Bb, X), jnp.float32),
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
@@ -278,20 +303,28 @@ def _common(decoders, gamma):
     ws, bs = _stack_weights(decoders)
     M = ws[0].shape[0]
     X = ws[-1].shape[-1]
+    from vae_latent_geometry_tpu.ops.energy_pallas import _MAX_BB_MC
+
+    B_pad = _round_up(B, 8)
+    Bb = _pick_bb(B_pad, _MAX_BB_MC)
+    B_pad = _round_up(B_pad, Bb)
     # Tc >= 16 keeps offset value-slices at >= 8 sublanes (Mosaic limit)
-    Tc = _pick_chunk(T, B, target_rows=4096)
-    return T, B, D, X, M, Tc, ws, bs
+    Tc = _pick_chunk(T, Bb, target_rows=4096)
+    return T, B, B_pad, Bb, D, X, M, Tc, ws, bs
 
 
 def _fwd_impl(decoders, gamma, d1, d2, precision):
-    T, B, D, X, M, Tc, ws, bs = _common(decoders, gamma)
+    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _common(decoders, gamma)
     S = d1.shape[0]
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
-    fwd = _build("fwd", T, B, D, X, M, S, Tc, len(ws), dtype,
-                 interpret=not _is_tpu())
-    out = fwd(*_gamma_planes(gamma), _pad_indices(d1), _pad_indices(d2),
-              *ws, *bs)
-    return out[0], (decoders, gamma, d1, d2)
+    gamma_p = _pad_b(gamma, B_pad, axis=1)
+    fwd = _build("fwd", T, B_pad, Bb, D, X, M, S, Tc, len(ws), dtype,
+                 not _is_tpu(), ws, bs)
+    out = fwd(*_gamma_planes(gamma_p),
+              _pad_b(_pad_indices(d1), B_pad, axis=2),
+              _pad_b(_pad_indices(d2), B_pad, axis=2),
+              *_cast_ws(ws, dtype), *bs)
+    return out[0, :B], (decoders, gamma, d1, d2)
 
 
 def _fwd_rule(decoders, gamma, d1, d2, precision):
@@ -301,15 +334,21 @@ def _fwd_rule(decoders, gamma, d1, d2, precision):
 
 def _bwd_rule(precision, res, ct):
     decoders, gamma, d1, d2 = res
-    T, B, D, X, M, Tc, ws, bs = _common(decoders, gamma)
+    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _common(decoders, gamma)
     S = d1.shape[0]
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
-    bwd = _build("bwd", T, B, D, X, M, S, Tc, len(ws), dtype,
-                 interpret=not _is_tpu())
-    dplanes = bwd(*_gamma_planes_padded(gamma),
-                  _pad_indices(d1, trailing=8), _pad_indices(d2, trailing=8),
-                  ct.reshape(1, B).astype(jnp.float32), *ws, *bs)
-    dgamma = jnp.stack(dplanes, axis=-1)
+    gamma_p = _pad_b(gamma, B_pad, axis=1)
+    ct_p = _pad_b(ct.reshape(1, B).astype(jnp.float32), B_pad, axis=1)
+    if B_pad != B:
+        lane = jnp.arange(B_pad)[None, :] < B
+        ct_p = ct_p * lane.astype(jnp.float32)
+    bwd = _build("bwd", T, B_pad, Bb, D, X, M, S, Tc, len(ws), dtype,
+                 not _is_tpu(), ws, bs)
+    dplanes = bwd(*_gamma_planes_padded(gamma_p),
+                  _pad_b(_pad_indices(d1, trailing=8), B_pad, axis=2),
+                  _pad_b(_pad_indices(d2, trailing=8), B_pad, axis=2),
+                  ct_p, *_cast_ws(ws, dtype), *bs)
+    dgamma = jnp.stack(dplanes, axis=-1)[:, :B]
     zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, decoders)
     return (zeros_dec, dgamma, jnp.zeros_like(d1), jnp.zeros_like(d2))
 

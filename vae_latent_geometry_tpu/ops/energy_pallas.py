@@ -6,11 +6,21 @@ round-trips for every reduction.  This kernel streams the curve through all
 ensemble decoders chunk-by-chunk entirely in VMEM:
 
 - all M decoder MLPs' weights live in VMEM for the whole kernel (~1 MB for
-  the 10-decoder reference model);
-- per T-chunk, the decoder loop accumulates only the ensemble mean
-  ``xbar`` and mean squared norm ``sq`` (the sufficient statistics of the
-  expected energy) — the (M, T, B, X) tensor never exists;
+  the 10-decoder reference model), pre-cast to the compute dtype ONCE on the
+  host side so no casts happen inside the chunk loop;
+- per T-chunk, the decoder loop accumulates only the (per-spline weighted)
+  ensemble mean ``xbar`` and mean squared norm ``sq`` (the sufficient
+  statistics of the expected energy) — the (M, T, B, X) tensor never exists;
 - adjacent-sample cross terms use a one-row carry between chunks;
+- the batch axis is *gridded*: blocks of ``Bb`` splines are pipelined through
+  VMEM, so any batch size fits (the reference single-decoder config is
+  B=500, ``src/single_decoder/optimize_energy_batched.py:132``);
+- per-spline ensemble weights (M, B) generalize the uniform mean: the CoV
+  sweep's first-k-decoders subsets (``src/eval.py:112-126``) become masked
+  mean weights, one batched kernel call for all k at once;
+- M == 1 takes a cancellation-free fast path (direct segment differences),
+  which makes the kernel the fused implementation of the single-decoder
+  energy (``src/single_decoder/optimize_energy_batched.py:51-57``) as well;
 - the backward kernel exploits that geodesic optimization trains only the
   curve (omega), not the decoders: it recomputes activations per chunk and
   emits d gamma only — no weight gradients, no stored residuals.
@@ -53,12 +63,23 @@ def fused_available() -> bool:
 # (v5e reports a 128 MB vmem space).  Our chunk intermediates want ~20-40 MB.
 _VMEM_LIMIT = 100 * 1024 * 1024
 
+# Batch-block size: batches larger than this are gridded into Bb-wide blocks
+# pipelined through VMEM (B <= max_bb stays a single block).  The MC kernel
+# carries (M + S) chunk-resident scratch planes, so its blocks are narrower.
+_MAX_BB_EXPECTED = 256
+_MAX_BB_MC = 128
+
 
 def _compiler_params():
     try:
         return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     except Exception:  # older API name
         return pltpu.TPUCompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _pick_bb(B: int, max_bb: int = _MAX_BB_EXPECTED) -> int:
+    """Batch-block width for the B-axis grid."""
+    return B if B <= max_bb else max_bb
 
 
 def _pick_chunk(T: int, B: int, target_rows: int = 4096) -> int:
@@ -121,42 +142,51 @@ def _fwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
     g_refs = refs[:D]                     # D x (T, B)
     w_refs = refs[D:D + n_layers]
     b_refs = refs[D + n_layers:D + 2 * n_layers]
-    out_ref = refs[D + 2 * n_layers]
-    xbar_ext = refs[D + 2 * n_layers + 1]  # (Tc+8, B, X) scratch
-    sq_ext = refs[D + 2 * n_layers + 2]    # (Tc+8, B) scratch
+    wmb_ref = refs[D + 2 * n_layers]      # (M, B) per-spline ensemble weights
+    out_ref = refs[D + 2 * n_layers + 1]
+    xbar_ext = refs[D + 2 * n_layers + 2]  # (Tc+8, B, X) scratch
+    sq_ext = refs[D + 2 * n_layers + 3]    # (Tc+8, B) scratch
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
-    inv_m = 1.0 / M
+    wmb = wmb_ref[:]                       # (M, B)
     n_chunks = T // Tc
 
     out_ref[:] = jnp.zeros_like(out_ref)
     # zero the carry slot: chunk 0's first segment is masked out, but it must
     # still be computed from finite values (0 * NaN = NaN)
     xbar_ext[pl.ds(0, 8), :, :] = jnp.zeros((8, B, X), jnp.float32)
-    sq_ext[pl.ds(0, 8), :] = jnp.zeros((8, B), jnp.float32)
+    if M > 1:
+        sq_ext[pl.ds(0, 8), :] = jnp.zeros((8, B), jnp.float32)
 
     def body(c, _):
         start = pl.multiple_of(c * Tc, 8)
         g_planes = [g_refs[d][pl.ds(start, Tc), :] for d in range(D)]
-        xbar = jnp.zeros((Tc * B, X), jnp.float32)
-        sq3 = jnp.zeros((Tc, B), jnp.float32)
-        for m in range(M):
+        # centered sufficient statistics (cancellation-free; see
+        # geometry/energy.energy_expected): decode decoder 0, then accumulate
+        # weighted deviations y_m = x_m - x_0.  Requires sum_m w[m, b] == 1
+        # (mean weights), which uniform_weights/active_weights guarantee.
+        x0 = _decode_planes(g_planes, ws, bs, 0, dtype).reshape(Tc, B, X)
+        ybar = jnp.zeros((Tc, B, X), jnp.float32)
+        sqy = jnp.zeros((Tc, B), jnp.float32)
+        for m in range(1, M):
             x = _decode_planes(g_planes, ws, bs, m, dtype)   # (Tc*B, X)
-            xbar = xbar + x
-            x3 = x.reshape(Tc, B, X)
-            sq3 = sq3 + jnp.sum(x3 * x3, axis=-1)
-        xbar = xbar * inv_m
-        sq3 = sq3 * inv_m
+            y = x.reshape(Tc, B, X) - x0
+            w_m = wmb[m, :][None, :]                         # (1, B)
+            ybar = ybar + w_m[:, :, None] * y
+            sqy = sqy + w_m * jnp.sum(y * y, axis=-1)
+        xbar = x0 + ybar
 
         # rows 7..7+Tc hold [carry, chunk]; write chunk at aligned offset 8
-        xbar_ext[pl.ds(8, Tc), :, :] = xbar.reshape(Tc, B, X)
-        sq_ext[pl.ds(8, Tc), :] = sq3
-
+        xbar_ext[pl.ds(8, Tc), :, :] = xbar
         xe = xbar_ext[:]                                  # (Tc+8, B, X)
-        se = sq_ext[:]
-        cross = jnp.sum(xe[8:8 + Tc] * xe[7:7 + Tc], axis=-1)   # (Tc, B)
-        seg = se[8:8 + Tc] + se[7:7 + Tc] - 2.0 * cross         # (Tc, B)
+        diff = xe[8:8 + Tc] - xe[7:7 + Tc]
+        seg = jnp.sum(diff * diff, axis=-1)               # (Tc, B)
+        if M > 1:
+            var = sqy - jnp.sum(ybar * ybar, axis=-1)     # (Tc, B)
+            sq_ext[pl.ds(8, Tc), :] = var
+            se = sq_ext[:]
+            seg = seg + se[8:8 + Tc] + se[7:7 + Tc]
         # NOTE Mosaic constraint: offset value-slices need >= 8 sublanes
         # (seg[1:] works for Tc >= 16; Tc=8 would produce an unsupported
         # (7, B) relayout) — _pick_chunk guarantees Tc >= 16 when possible.
@@ -165,7 +195,8 @@ def _fwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
         out_ref[0, :] = out_ref[0, :] + total
         # carry last row into slot 7 for the next chunk
         xbar_ext[7, :, :] = xbar_ext[7 + Tc, :, :]
-        sq_ext[7, :] = sq_ext[7 + Tc, :]
+        if M > 1:
+            sq_ext[7, :] = sq_ext[7 + Tc, :]
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -176,11 +207,12 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
     ct_ref = refs[D]
     w_refs = refs[D + 1:D + 1 + n_layers]
     b_refs = refs[D + 1 + n_layers:D + 1 + 2 * n_layers]
-    dg_refs = refs[D + 1 + 2 * n_layers:D + 1 + 2 * n_layers + D]
+    wmb_ref = refs[D + 1 + 2 * n_layers]  # (M, B)
+    dg_refs = refs[D + 2 + 2 * n_layers:D + 2 + 2 * n_layers + D]
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
-    inv_m = 1.0 / M
+    wmb = wmb_ref[:]
     n_chunks = T // Tc
     ct = ct_ref[0, :]                     # (B,)
 
@@ -192,10 +224,10 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
         halo_planes = [w[0:Tc + 2, :] for w in wins]
         center_planes = [w[1:Tc + 1, :] for w in wins]
 
-        xbar = jnp.zeros(((Tc + 2) * B, X), jnp.float32)
+        xbar = jnp.zeros((Tc + 2, B, X), jnp.float32)
         for m in range(M):
-            xbar = xbar + _decode_planes(halo_planes, ws, bs, m, dtype)
-        xbar = (xbar * inv_m).reshape(Tc + 2, B, X)
+            xm = _decode_planes(halo_planes, ws, bs, m, dtype)
+            xbar = xbar + wmb[m, :][None, :, None] * xm.reshape(Tc + 2, B, X)
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0) + c * Tc
         has_left = (row_ids > 0).astype(jnp.float32)      # (Tc, 1)
@@ -203,10 +235,11 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
         c_coeff = (has_left + has_right)[:, :, None]      # (Tc, 1, 1)
         left = xbar[0:Tc] * has_left[:, :, None]
         right = xbar[2:Tc + 2] * has_right[:, :, None]
-        scale = (2.0 * inv_m) * ct[None, :, None]         # (1, B, 1)
 
         dgs = [jnp.zeros((Tc, B), jnp.float32) for _ in range(D)]
         for m in range(M):
+            # dE/dx_{m,t} = 2 w_{m,b} ct_b (c_coeff x_{m,t} - xbar_{t-1} - xbar_{t+1})
+            scale = 2.0 * (wmb[m, :] * ct)[None, :, None]  # (1, B, 1)
             h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
             x, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True)
             x3 = x.reshape(Tc, B, X)
@@ -230,34 +263,62 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def _build_fwd(T, B, D, X, M, Tc, n_layers, dtype, interpret):
-    kernel = functools.partial(_fwd_kernel, T=T, B=B, D=D, X=X, M=M, Tc=Tc,
-                               n_layers=n_layers, dtype=dtype)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (D + 2 * n_layers),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((Tc + 8, B, X), jnp.float32),
-            pltpu.VMEM((Tc + 8, B), jnp.float32),
-        ],
-        compiler_params=_compiler_params(),
-        interpret=interpret,
-    )
+def _specs_for(ws, bs):
+    """in_specs for the stacked weights/biases (+ extras): full arrays,
+    re-used by every B-block."""
+    specs = []
+    for w in ws:
+        specs.append(pl.BlockSpec(w.shape, lambda i, _s=w.shape: (0,) * len(_s)))
+    for b in bs:
+        specs.append(pl.BlockSpec(b.shape, lambda i, _s=b.shape: (0,) * len(_s)))
+    return specs
 
 
-def _build_bwd(T, B, D, X, M, Tc, n_layers, dtype, interpret):
-    kernel = functools.partial(_bwd_kernel, T=T, B=B, D=D, X=X, M=M, Tc=Tc,
+def _build_fwd(T, B, Bb, D, X, M, Tc, n_layers, dtype, interpret):
+    kernel = functools.partial(_fwd_kernel, T=T, B=Bb, D=D, X=X, M=M, Tc=Tc,
                                n_layers=n_layers, dtype=dtype)
-    return pl.pallas_call(
-        kernel,
-        out_shape=[jax.ShapeDtypeStruct((T, B), jnp.float32)] * D,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (D + 1 + 2 * n_layers),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * D,
-        compiler_params=_compiler_params(),
-        interpret=interpret,
-    )
+
+    def build(ws, bs):
+        g_spec = pl.BlockSpec((T, Bb), lambda i: (0, i))
+        wmb_spec = pl.BlockSpec((M, Bb), lambda i: (0, i))
+        return pl.pallas_call(
+            kernel,
+            grid=(B // Bb,),
+            out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+            in_specs=[g_spec] * D + _specs_for(ws, bs) + [wmb_spec],
+            out_specs=pl.BlockSpec((1, Bb), lambda i: (0, i)),
+            scratch_shapes=[
+                pltpu.VMEM((Tc + 8, Bb, X), jnp.float32),
+                pltpu.VMEM((Tc + 8, Bb), jnp.float32),
+            ],
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )
+
+    return build
+
+
+def _build_bwd(T, B, Bb, D, X, M, Tc, n_layers, dtype, interpret):
+    kernel = functools.partial(_bwd_kernel, T=T, B=Bb, D=D, X=X, M=M, Tc=Tc,
+                               n_layers=n_layers, dtype=dtype)
+
+    def build(ws, bs):
+        g_spec = pl.BlockSpec((T + 8, Bb), lambda i: (0, i))
+        ct_spec = pl.BlockSpec((1, Bb), lambda i: (0, i))
+        wmb_spec = pl.BlockSpec((M, Bb), lambda i: (0, i))
+        dg_spec = pl.BlockSpec((T, Bb), lambda i: (0, i))
+        return pl.pallas_call(
+            kernel,
+            grid=(B // Bb,),
+            out_shape=[jax.ShapeDtypeStruct((T, B), jnp.float32)] * D,
+            in_specs=[g_spec] * D + [ct_spec] + _specs_for(ws, bs)
+            + [wmb_spec],
+            out_specs=[dg_spec] * D,
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )
+
+    return build
 
 
 def _is_tpu() -> bool:
@@ -268,17 +329,49 @@ def _is_tpu() -> bool:
 
 
 def fused_fits(T, B, D, X, M, mc: bool = False, mc_samples: int = 2) -> bool:
-    """Whether the fused kernels fit this chip's VMEM for these shapes.
+    """Whether the fused kernels can run these shapes.
 
-    Empirically calibrated on v5e (128 MB vmem space): the reference
-    workload (T=2000, B=200, X=50, M=10) compiles and runs for both kernels;
-    B=400 at the same T fails XLA's scoped-vmem accounting (measured
-    141.8 MB > 128 MB) even though a naive buffer model predicts ~30 MB —
-    Mosaic's stack accounting is opaque, so the guard is conservative.
-    Oversized calls fall back to the XLA energy paths (same semantics)."""
-    if D > 2 or X > 64 or M > 16:
+    The batch axis is gridded (Bb-wide blocks pipelined through VMEM), so any
+    B fits; the guard is shape math, not an empirical table:
+    - D <= 2 (first layer is D broadcast mul-adds; large D wants a matmul),
+    - X <= 128 and M <= 16 keep the chunk working set in VMEM,
+    - T must have a divisor Tc with Tc % 8 == 0 and Tc >= 16 (Mosaic sublane
+      alignment for dynamic slice starts and offset value-slices),
+    - the per-block VMEM estimate (lane-padded) stays under ~48 MB.
+    """
+    if D > 2 or X > 128 or M > 16:
         return False
-    return B * T <= 200 * 2048 and B <= 256
+    Bb = _pick_bb(_round_up(B, 8), _MAX_BB_MC if mc else _MAX_BB_EXPECTED)
+    Tc = _pick_chunk(T, Bb)
+    if Tc % 8 != 0 or Tc < 16:
+        return False
+    lanes_x = _round_up(X, 128)
+    plane_bytes = (T + 8) * Bb * 4
+    chunk_plane = (Tc + 8) * Bb * lanes_x * 4
+    if mc:
+        # curve planes + 4 index planes + xall (M) + diffs (S) scratch
+        per_block = (D + 4 * mc_samples / 2) * plane_bytes \
+            + (M + mc_samples) * chunk_plane
+    else:
+        per_block = D * plane_bytes + chunk_plane
+    # intermediates of the unrolled MLP chunk (rows x widest hidden)
+    per_block += 6 * Tc * Bb * 128 * 4
+    return per_block <= 48 * 1024 * 1024
+
+
+def _round_up(n: int, m: int) -> int:
+    return n + (-n) % m
+
+
+def _pad_b(arr, B_pad, axis):
+    """Edge-replicate pad the batch axis up to B_pad (keeps all decode math
+    finite; padded lanes are discarded by the caller)."""
+    pad = B_pad - arr.shape[axis]
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths, mode="edge")
 
 
 def _gamma_planes(gamma):
@@ -293,9 +386,27 @@ def _gamma_planes_padded(gamma):
     return [gp[:, :, d] for d in range(D)]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def energy_expected_fused(decoders, gamma, precision: str = "float32"):
+def uniform_weights(M: int, B: int):
+    """The (M, B) weight plane of the plain ensemble mean."""
+    return jnp.full((M, B), 1.0 / M, jnp.float32)
+
+
+def active_weights(num_active, M: int, B: int):
+    """Masked-mean weight plane for per-spline first-k-decoder subsets
+    (the CoV sweep, reference ``src/eval.py:112-126``): w[m, b] =
+    (m < k_b) / k_b."""
+    k = jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
+    mask = (jnp.arange(M)[:, None] < k[None, :]).astype(jnp.float32)
+    return mask / k.astype(jnp.float32)[None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def energy_expected_fused(decoders, gamma, wmb=None, precision: str = "float32"):
     """Fused expected ensemble energy: (T, B, D) curve -> (B,) energies.
+
+    wmb: optional (M, B) per-spline ensemble weights (default: uniform 1/M —
+    the plain expected energy).  Use :func:`active_weights` for the CoV
+    sweep's first-k-decoder subsets.  Not differentiated.
 
     precision: 'float32' (default, parity with the XLA path) or 'bfloat16'
     (bf16 matmuls with f32 accumulation — faster, ~1e-3 rel error; use for
@@ -305,7 +416,7 @@ def energy_expected_fused(decoders, gamma, precision: str = "float32"):
     cotangents (geodesic optimization never trains them; use the XLA path
     ``geometry.energy.energy_expected`` if you need weight gradients).
     """
-    e, _ = _fwd_impl(decoders, gamma, precision)
+    e, _ = _fwd_impl(decoders, gamma, wmb, precision)
     return e
 
 
@@ -314,35 +425,61 @@ def _dims(decoders, gamma):
     ws, bs = _stack_weights(decoders)
     M = ws[0].shape[0]
     X = ws[-1].shape[-1]
-    Tc = _pick_chunk(T, B)
-    return T, B, D, X, M, Tc, ws, bs
+    B_pad = _round_up(B, 8)
+    Bb = _pick_bb(B_pad)
+    B_pad = _round_up(B_pad, Bb)
+    Tc = _pick_chunk(T, Bb)
+    return T, B, B_pad, Bb, D, X, M, Tc, ws, bs
 
 
-def _fwd_impl(decoders, gamma, precision):
-    T, B, D, X, M, Tc, ws, bs = _dims(decoders, gamma)
+def _cast_ws(ws, dtype):
+    """Pre-cast the stacked weights once, outside the chunk loop."""
+    return [w.astype(dtype) for w in ws]
+
+
+def _resolve_wmb(wmb, M, B_pad, B):
+    if wmb is None:
+        return uniform_weights(M, B_pad)
+    wmb = jnp.asarray(wmb, jnp.float32)
+    return _pad_b(wmb, B_pad, axis=1)
+
+
+def _fwd_impl(decoders, gamma, wmb, precision):
+    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _dims(decoders, gamma)
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
-    fwd = _build_fwd(T, B, D, X, M, Tc, len(ws), dtype,
-                     interpret=not _is_tpu())
-    out = fwd(*_gamma_planes(gamma), *ws, *bs)
-    return out[0], (decoders, gamma)
+    gamma_p = _pad_b(gamma, B_pad, axis=1)
+    wmb_p = _resolve_wmb(wmb, M, B_pad, B)
+    fwd = _build_fwd(T, B_pad, Bb, D, X, M, Tc, len(ws), dtype,
+                     interpret=not _is_tpu())(ws, bs)
+    out = fwd(*_gamma_planes(gamma_p), *_cast_ws(ws, dtype), *bs, wmb_p)
+    return out[0, :B], (decoders, gamma, wmb)
 
 
-def _fwd_rule(decoders, gamma, precision):
-    e, res = _fwd_impl(decoders, gamma, precision)
+def _fwd_rule(decoders, gamma, wmb, precision):
+    e, res = _fwd_impl(decoders, gamma, wmb, precision)
     return e, res
 
 
 def _bwd_rule(precision, res, ct):
-    decoders, gamma = res
-    T, B, D, X, M, Tc, ws, bs = _dims(decoders, gamma)
+    decoders, gamma, wmb = res
+    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _dims(decoders, gamma)
     dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
-    bwd = _build_bwd(T, B, D, X, M, Tc, len(ws), dtype,
-                     interpret=not _is_tpu())
-    dplanes = bwd(*_gamma_planes_padded(gamma),
-                  ct.reshape(1, B).astype(jnp.float32), *ws, *bs)
-    dgamma = jnp.stack(dplanes, axis=-1)                 # (T, B, D)
+    gamma_p = _pad_b(gamma, B_pad, axis=1)
+    wmb_p = _resolve_wmb(wmb, M, B_pad, B)
+    ct_p = _pad_b(ct.reshape(1, B).astype(jnp.float32), B_pad, axis=1)
+    # zero the padded lanes' cotangents (edge-replicated columns must not
+    # contribute gradient)
+    if B_pad != B:
+        lane = jnp.arange(B_pad)[None, :] < B
+        ct_p = ct_p * lane.astype(jnp.float32)
+    bwd = _build_bwd(T, B_pad, Bb, D, X, M, Tc, len(ws), dtype,
+                     interpret=not _is_tpu())(ws, bs)
+    dplanes = bwd(*_gamma_planes_padded(gamma_p), ct_p,
+                  *_cast_ws(ws, dtype), *bs, wmb_p)
+    dgamma = jnp.stack(dplanes, axis=-1)[:, :B]          # (T, B, D)
     zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, decoders)
-    return zeros_dec, dgamma
+    d_wmb = None if wmb is None else jnp.zeros_like(jnp.asarray(wmb))
+    return zeros_dec, dgamma, d_wmb
 
 
 energy_expected_fused.defvjp(_fwd_rule, _bwd_rule)

@@ -48,6 +48,23 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
                num_active=None):
     if mode == "single":
         return energy_lib.energy_single(decoders, gamma)
+    if mode in ("single_fused", "single_fused_bf16"):
+        # the expected kernel with an M=1 "ensemble" IS the single-decoder
+        # energy (cancellation-free fast path in the kernel); covers the
+        # reference's batch-500 single-decoder config
+        # (src/single_decoder/optimize_energy_batched.py:132)
+        from vae_latent_geometry_tpu.ops.energy_pallas import (
+            energy_expected_fused,
+            fused_fits,
+        )
+
+        T, B, D = gamma.shape
+        stacked = jax.tree_util.tree_map(lambda x: x[None], decoders)
+        X = stacked["layers"][-1]["w"].shape[-1]
+        if not fused_fits(T, B, D, X, 1):
+            return energy_lib.energy_single(decoders, gamma)
+        precision = "bfloat16" if mode.endswith("bf16") else "float32"
+        return energy_expected_fused(stacked, gamma, None, precision)
     if mode == "mc":
         return energy_lib.energy_mc(decoders, gamma, key, mc_samples,
                                     num_active)
@@ -75,11 +92,8 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
     if mode == "expected":
         return energy_lib.energy_expected(decoders, gamma, num_active)
     if mode in ("expected_fused", "expected_fused_bf16"):
-        if num_active is not None:
-            raise ValueError(
-                "expected_fused has no per-spline active-decoder support; "
-                "use mode='expected' or 'mc_fused' for the CoV sweep")
         from vae_latent_geometry_tpu.ops.energy_pallas import (
+            active_weights,
             energy_expected_fused,
             fused_fits,
         )
@@ -89,8 +103,12 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
         X = decoders["layers"][-1]["w"].shape[-1]
         if not fused_fits(T, B, D, X, m_dec, mc=False):
             return energy_lib.energy_expected(decoders, gamma, num_active)
+        # per-spline first-k-decoder subsets (the CoV sweep) become a
+        # masked-mean weight plane streamed into the kernel
+        wmb = (active_weights(num_active, m_dec, B)
+               if num_active is not None else None)
         precision = "bfloat16" if mode.endswith("bf16") else "float32"
-        return energy_expected_fused(decoders, gamma, precision)
+        return energy_expected_fused(decoders, gamma, wmb, precision)
     if mode == "jvp":
         return energy_lib.energy_jvp(decoders, gamma, gamma_dot)
     if mode == "jvp_ensemble":
