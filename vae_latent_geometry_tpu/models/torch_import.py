@@ -101,6 +101,26 @@ def load_decoder_checkpoint(path: str):
     return _sequential_to_mlp(_group_sequential(sd, "decoder_net"))
 
 
+def mean_head(decoder_params):
+    """Slice a heteroscedastic decoder (output 2*X: mean ++ log_std,
+    reference ``src/single_decoder/vae.py:29-42``) down to its mean head —
+    the part the single-decoder energy uses (``decoder(z).mean``,
+    ``src/single_decoder/optimize_energy_batched.py:51-57``)."""
+    layers = [dict(l) for l in decoder_params["layers"]]
+    last = layers[-1]
+    x = last["w"].shape[1] // 2
+    layers[-1] = {"w": last["w"][:, :x], "b": last["b"][:x]}
+    out = {k: v for k, v in decoder_params.items() if k != "layers"}
+    out["layers"] = layers
+    return out
+
+
+def load_single_vae_mean_decoder(path: str):
+    """The mean-head decoder of a legacy single-VAE checkpoint
+    (``vae_best_seed*.pth``) — ready for the single-decoder energy paths."""
+    return mean_head(load_single_vae_checkpoint(path)["decoder"])
+
+
 def load_spline_blob(path: str) -> Dict[str, Any]:
     """Load a reference spline blob (.pt) into numpy arrays.
 

@@ -108,13 +108,33 @@ def _pad_indices(d, trailing: int = 0):
     return jnp.concatenate(parts, axis=1)
 
 
+def _pad_indices_raw(d, trailing: int = 1):
+    """(S, T-1, B) -> (S, T-1+trailing, B): raw column layout (segment j at
+    column j), trailing zero padding only — used where chunk-aligned reads
+    need d[s, t] at row t."""
+    S, Tm1, B = d.shape
+    return jnp.concatenate([d, jnp.zeros((S, trailing, B), d.dtype)], axis=1)
+
+
 def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
+    """Sampled-energy forward.
+
+    Streams per-sample *selected* planes instead of materializing all M
+    decoder outputs: for each decoder m (output held in registers), the
+    (d == m) masks accumulate
+      lo[s](t) = x_{d1[s,t]}(t)        (segment t's left endpoint)
+      hi[s](t) = x_{d2[s,t-1]}(t)      (segment t-1's right endpoint)
+    and the segment energy is ||hi[s](t+1) - lo[s](t)||^2, assembled with a
+    one-row carry on lo (same ext-buffer trick as the expected kernel).
+    This removes the (M, Tc, B, X) scratch write + M-fold re-read of the
+    previous design — scratch traffic scales with S (=2), not M (=10).
+    """
     g_refs = refs[:D]
-    d1_ref, d2_ref = refs[D], refs[D + 1]
+    d1_ref, d2_ref = refs[D], refs[D + 1]   # d1: raw cols; d2: +1 dummy col
     w_refs = refs[D + 2:D + 2 + n_layers]
     b_refs = refs[D + 2 + n_layers:D + 2 + 2 * n_layers]
     out_ref = refs[D + 2 + 2 * n_layers]
-    xall = refs[D + 2 + 2 * n_layers + 1]  # (M, Tc+8, B, X) scratch
+    lo_ext = refs[D + 2 + 2 * n_layers + 1]   # (S, Tc+8, B, X) scratch
     seg_ref = refs[D + 2 + 2 * n_layers + 2]  # (Tc, B) scratch
 
     ws = [w_refs[i][:] for i in range(n_layers)]
@@ -122,56 +142,59 @@ def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
     n_chunks = T // Tc
 
     out_ref[:] = jnp.zeros_like(out_ref)
-    for m in range(M):
-        xall[m, pl.ds(0, 8), :, :] = jnp.zeros((8, B, X), jnp.float32)
+    for s in range(S):
+        lo_ext[s, pl.ds(0, 8), :, :] = jnp.zeros((8, B, X), jnp.float32)
 
     def body(c, _):
         start = pl.multiple_of(c * Tc, 8)
         g_planes = [g_refs[d][pl.ds(start, Tc), :] for d in range(D)]
+        m1s = [d1_ref[s, pl.ds(start, Tc), :] for s in range(S)]  # d1[t]
+        m2s = [d2_ref[s, pl.ds(start, Tc), :] for s in range(S)]  # d2[t-1]
+        los = [jnp.zeros((Tc, B, X), jnp.float32) for _ in range(S)]
+        his = [jnp.zeros((Tc, B, X), jnp.float32) for _ in range(S)]
         for m in range(M):
             h1 = _first_layer(g_planes, ws[0][m], bs[0][m], dtype)
-            x = _tail_layers(h1, ws, bs, m, dtype)
-            xall[m, pl.ds(8, Tc), :, :] = x.reshape(Tc, B, X)
+            x = _tail_layers(h1, ws, bs, m, dtype).reshape(Tc, B, X)
+            for s in range(S):
+                w1 = (m1s[s] == m).astype(jnp.float32)[:, :, None]
+                w2 = (m2s[s] == m).astype(jnp.float32)[:, :, None]
+                los[s] = los[s] + w1 * x
+                his[s] = his[s] + w2 * x
 
         first_w = jnp.where(c == 0, 0.0, 1.0)
         seg_total = jnp.zeros((Tc, B), jnp.float32)
         for s in range(S):
-            dd1 = d1_ref[s, pl.ds(start, Tc), :]            # (Tc, B)
-            dd2 = d2_ref[s, pl.ds(start, Tc), :]
-            x1 = jnp.zeros((Tc, B, X), jnp.float32)
-            x2 = jnp.zeros((Tc, B, X), jnp.float32)
-            for m in range(M):
-                xa = xall[m, :, :, :]                        # (Tc+8, B, X)
-                m1 = (dd1 == m).astype(jnp.float32)[:, :, None]
-                m2 = (dd2 == m).astype(jnp.float32)[:, :, None]
-                x1 = x1 + m1 * xa[7:7 + Tc]
-                x2 = x2 + m2 * xa[8:8 + Tc]
-            diff = x2 - x1
+            lo_ext[s, pl.ds(8, Tc), :, :] = los[s]
+            le = lo_ext[s, :, :, :]                          # (Tc+8, B, X)
+            diff = his[s] - le[7:7 + Tc]
             seg_total = seg_total + jnp.sum(diff * diff, axis=-1)
         # roundtrip through scratch: the offset value-slice below needs a
         # concrete (non-implicit-dim) layout, which a scratch read provides
-        # (same trick the expected-energy kernel gets for free via its carry
-        # buffers)
         seg_ref[:, :] = seg_total
         seg = seg_ref[:]
+        # row j carries segment j-1; row 0 of chunk 0 is not a segment
         total = jnp.sum(seg[1:], axis=0) + seg[0] * first_w
         out_ref[0, :] = out_ref[0, :] + total / S
-        for m in range(M):
-            xall[m, 7, :, :] = xall[m, 7 + Tc, :, :]
+        for s in range(S):
+            lo_ext[s, 7, :, :] = lo_ext[s, 7 + Tc, :, :]
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
+    """Sampled-energy backward.  Pass 1 decodes the halo rows once per
+    decoder, accumulating the per-sample selected endpoints (x1, x2) on the
+    fly — the (M, Tc, B, X) materialization of the previous design is gone;
+    only the S segment-difference planes hit scratch.  Pass 2 recomputes
+    center activations per decoder and backprops the masked cotangents."""
     g_refs = refs[:D]                     # D x (T+8, B) edge-padded planes
     d1_ref, d2_ref = refs[D], refs[D + 1]  # (S, T+8, B)
     ct_ref = refs[D + 2]
     w_refs = refs[D + 3:D + 3 + n_layers]
     b_refs = refs[D + 3 + n_layers:D + 3 + 2 * n_layers]
     dg_refs = refs[D + 3 + 2 * n_layers:D + 3 + 2 * n_layers + D]
-    xall = refs[D + 3 + 2 * n_layers + D]      # (M, Tc+8, B, X)
-    diffs = refs[D + 3 + 2 * n_layers + D + 1]  # (S, Tc+8, B, X)
+    diffs = refs[D + 3 + 2 * n_layers + D]  # (S, Tc+8, B, X)
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
@@ -184,31 +207,29 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
         halo_planes = [w[0:Tc + 2, :] for w in wins]
         center_planes = [w[1:Tc + 1, :] for w in wins]
 
-        for m in range(M):
-            h1 = _first_layer(halo_planes, ws[0][m], bs[0][m], dtype)
-            x = _tail_layers(h1, ws, bs, m, dtype)
-            xall[m, pl.ds(0, Tc + 8), :, :] = jnp.pad(
-                x.reshape(Tc + 2, B, X), ((0, 6), (0, 0), (0, 0)))
-
         # segments j = c*Tc-1+i for i = 0..Tc; valid iff 0 <= j <= T-2
         seg_ids = jax.lax.broadcasted_iota(jnp.int32, (Tc + 1, 1), 0) \
             + c * Tc - 1
         seg_valid = ((seg_ids >= 0) & (seg_ids <= T - 2)).astype(jnp.float32)
 
+        dd1s, dd2s = [], []
+        x1s = [jnp.zeros((Tc + 1, B, X), jnp.float32) for _ in range(S)]
+        x2s = [jnp.zeros((Tc + 1, B, X), jnp.float32) for _ in range(S)]
         for s in range(S):
             w1 = d1_ref[s, pl.ds(start, Tc + 8), :]
             w2 = d2_ref[s, pl.ds(start, Tc + 8), :]
-            dd1 = w1[0:Tc + 1, :]                            # (Tc+1, B)
-            dd2 = w2[0:Tc + 1, :]
-            x1 = jnp.zeros((Tc + 1, B, X), jnp.float32)
-            x2 = jnp.zeros((Tc + 1, B, X), jnp.float32)
-            for m in range(M):
-                xa = xall[m, :, :, :]
-                m1 = (dd1 == m).astype(jnp.float32)[:, :, None]
-                m2 = (dd2 == m).astype(jnp.float32)[:, :, None]
-                x1 = x1 + m1 * xa[0:Tc + 1]
-                x2 = x2 + m2 * xa[1:Tc + 2]
-            d_val = (x2 - x1) * seg_valid[:, :, None]
+            dd1s.append(w1[0:Tc + 1, :])                     # (Tc+1, B)
+            dd2s.append(w2[0:Tc + 1, :])
+        for m in range(M):
+            h1 = _first_layer(halo_planes, ws[0][m], bs[0][m], dtype)
+            xa = _tail_layers(h1, ws, bs, m, dtype).reshape(Tc + 2, B, X)
+            for s in range(S):
+                m1 = (dd1s[s] == m).astype(jnp.float32)[:, :, None]
+                m2 = (dd2s[s] == m).astype(jnp.float32)[:, :, None]
+                x1s[s] = x1s[s] + m1 * xa[0:Tc + 1]
+                x2s[s] = x2s[s] + m2 * xa[1:Tc + 2]
+        for s in range(S):
+            d_val = (x2s[s] - x1s[s]) * seg_valid[:, :, None]
             diffs[s, pl.ds(0, Tc + 8), :, :] = jnp.pad(
                 d_val, ((0, 7), (0, 0), (0, 0)))
 
@@ -260,7 +281,7 @@ def _build(kind, T, B, Bb, D, X, M, S, Tc, n_layers, dtype, interpret, ws, bs):
             out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
             in_specs=[g_spec] * D + [idx_spec] * 2 + _specs_for(ws, bs),
             out_specs=pl.BlockSpec((1, Bb), lambda i: (0, i)),
-            scratch_shapes=[pltpu.VMEM((M, Tc + 8, Bb, X), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((S, Tc + 8, Bb, X), jnp.float32),
                             pltpu.VMEM((Tc, Bb), jnp.float32)],
             compiler_params=_compiler_params(),
             interpret=interpret,
@@ -279,7 +300,6 @@ def _build(kind, T, B, Bb, D, X, M, S, Tc, n_layers, dtype, interpret, ws, bs):
         + _specs_for(ws, bs),
         out_specs=[dg_spec] * D,
         scratch_shapes=[
-            pltpu.VMEM((M, Tc + 8, Bb, X), jnp.float32),
             pltpu.VMEM((S, Tc + 8, Bb, X), jnp.float32),
         ],
         compiler_params=_compiler_params(),
@@ -320,8 +340,10 @@ def _fwd_impl(decoders, gamma, d1, d2, precision):
     gamma_p = _pad_b(gamma, B_pad, axis=1)
     fwd = _build("fwd", T, B_pad, Bb, D, X, M, S, Tc, len(ws), dtype,
                  not _is_tpu(), ws, bs)
+    # fwd index layouts: d1 raw (segment t at column t, for lo(t)); d2 with
+    # one leading dummy (segment t-1 at column t, for hi(t))
     out = fwd(*_gamma_planes(gamma_p),
-              _pad_b(_pad_indices(d1), B_pad, axis=2),
+              _pad_b(_pad_indices_raw(d1), B_pad, axis=2),
               _pad_b(_pad_indices(d2), B_pad, axis=2),
               *_cast_ws(ws, dtype), *bs)
     return out[0, :B], (decoders, gamma, d1, d2)

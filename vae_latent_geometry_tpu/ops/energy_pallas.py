@@ -63,11 +63,13 @@ def fused_available() -> bool:
 # (v5e reports a 128 MB vmem space).  Our chunk intermediates want ~20-40 MB.
 _VMEM_LIMIT = 100 * 1024 * 1024
 
-# Batch-block size: batches larger than this are gridded into Bb-wide blocks
-# pipelined through VMEM (B <= max_bb stays a single block).  The MC kernel
-# carries (M + S) chunk-resident scratch planes, so its blocks are narrower.
-_MAX_BB_EXPECTED = 256
-_MAX_BB_MC = 128
+# Batch-block size: batches up to 256 run as a single block (the reference
+# B=200 workload, measured well within VMEM); larger batches are gridded
+# into 128-wide blocks pipelined through VMEM.
+_SINGLE_BLOCK_MAX = 256
+_GRID_BB = 128
+_MAX_BB_EXPECTED = _SINGLE_BLOCK_MAX
+_MAX_BB_MC = _SINGLE_BLOCK_MAX
 
 
 def _compiler_params():
@@ -77,9 +79,9 @@ def _compiler_params():
         return pltpu.TPUCompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def _pick_bb(B: int, max_bb: int = _MAX_BB_EXPECTED) -> int:
+def _pick_bb(B: int, max_bb: int = _SINGLE_BLOCK_MAX) -> int:
     """Batch-block width for the B-axis grid."""
-    return B if B <= max_bb else max_bb
+    return B if B <= max_bb else _GRID_BB
 
 
 def _pick_chunk(T: int, B: int, target_rows: int = 4096) -> int:
@@ -146,6 +148,7 @@ def _fwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
     out_ref = refs[D + 2 * n_layers + 1]
     xbar_ext = refs[D + 2 * n_layers + 2]  # (Tc+8, B, X) scratch
     sq_ext = refs[D + 2 * n_layers + 3]    # (Tc+8, B) scratch
+    seg_ref = refs[D + 2 * n_layers + 4]   # (Tc, B) scratch
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
@@ -187,6 +190,10 @@ def _fwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
             sq_ext[pl.ds(8, Tc), :] = var
             se = sq_ext[:]
             seg = seg + se[8:8 + Tc] + se[7:7 + Tc]
+        # roundtrip through scratch: the offset value-slice below needs a
+        # concrete (non-implicit-dim) layout, which a scratch read provides
+        seg_ref[:, :] = seg
+        seg = seg_ref[:]
         # NOTE Mosaic constraint: offset value-slices need >= 8 sublanes
         # (seg[1:] works for Tc >= 16; Tc=8 would produce an unsupported
         # (7, B) relayout) — _pick_chunk guarantees Tc >= 16 when possible.
@@ -290,6 +297,7 @@ def _build_fwd(T, B, Bb, D, X, M, Tc, n_layers, dtype, interpret):
             scratch_shapes=[
                 pltpu.VMEM((Tc + 8, Bb, X), jnp.float32),
                 pltpu.VMEM((Tc + 8, Bb), jnp.float32),
+                pltpu.VMEM((Tc, Bb), jnp.float32),
             ],
             compiler_params=_compiler_params(),
             interpret=interpret,
@@ -349,9 +357,9 @@ def fused_fits(T, B, D, X, M, mc: bool = False, mc_samples: int = 2) -> bool:
     plane_bytes = (T + 8) * Bb * 4
     chunk_plane = (Tc + 8) * Bb * lanes_x * 4
     if mc:
-        # curve planes + 4 index planes + xall (M) + diffs (S) scratch
-        per_block = (D + 4 * mc_samples / 2) * plane_bytes \
-            + (M + mc_samples) * chunk_plane
+        # curve planes + 2S index planes + S selected/diff scratch planes
+        per_block = (D + 2 * mc_samples) * plane_bytes \
+            + mc_samples * chunk_plane
     else:
         per_block = D * plane_bytes + chunk_plane
     # intermediates of the unrolled MLP chunk (rows x widest hidden)
