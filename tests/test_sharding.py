@@ -128,3 +128,64 @@ def test_sharded_fused_mc_with_num_active(mesh8, ensemble, rng):
         ensemble, jnp.zeros((B, 5, 2)), a, b, basis, cfg, mesh8,
         num_active=np.full(B, 2))
     assert np.isfinite(np.asarray(res.energy)).all()
+
+
+def test_workload_slice_dp_sharded_matches_single_device(mesh8):
+    """A miniature full-matrix slice — REAL reference checkpoint + REAL
+    Dijkstra-initialized splines — through the actual pipeline stage
+    (``optimize_spline_batch``) on the dp x ep mesh: per-device pair counts
+    are asserted on the sharded arrays and the resulting geodesic lengths
+    must equal the single-device run (the tested version of the 'pairs shard
+    embarrassingly over dp' scaling claim)."""
+    import os
+
+    from vae_latent_geometry_tpu.io.artifacts import from_reference_blob
+    from vae_latent_geometry_tpu.models.torch_import import (
+        load_evae_checkpoint,
+        load_spline_blob,
+    )
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    ckpt = "/root/reference/experiment/model_seed12.pt"
+    blob = ("/root/reference/experiment/splines_init_model_seed12/"
+            "spline_batch_init_euclidean_10.pt")
+    if not (os.path.exists(ckpt) and os.path.exists(blob)):
+        pytest.skip("reference artifacts not mounted")
+    params = load_evae_checkpoint(ckpt)
+    art = from_reference_blob(load_spline_blob(blob))
+    # slice: 16 pairs of the real workload (multiple of dp; exercises two
+    # chunks of batch_size=8)
+    import dataclasses
+
+    n = 16
+    art = dataclasses.replace(
+        art, a=art.a[:n], b=art.b[:n], omega_init=art.omega_init[:n],
+        valid=art.valid[:n], pair_indices=art.pair_indices[:n],
+        pair_labels=art.pair_labels[:n] if art.pair_labels else None,
+    )
+    cfg = GeodesicConfig(steps=30, lr=1e-2, batch_size=8,
+                         energy=EnergyConfig(num_t=64, mode="expected"))
+    out_single = optimize_spline_batch(params, art, cfg=cfg,
+                                       log_every_chunk=False)
+    out_mesh = optimize_spline_batch(params, art, cfg=cfg, mesh=mesh8,
+                                     log_every_chunk=False)
+    np.testing.assert_allclose(out_mesh.geodesic_length,
+                               out_single.geodesic_length,
+                               rtol=1e-4)
+
+    # per-device pair counts: the sharded program's batch inputs are laid
+    # out with named_sharding(mesh, 'dp') (parallel/shard.py:70-76) — 8
+    # pairs over dp=4 -> exactly 2 pairs per dp row, replicated over ep
+    from vae_latent_geometry_tpu.parallel.mesh import named_sharding
+
+    om_in = jax.device_put(jnp.asarray(art.omega_init[:8]),
+                           named_sharding(mesh8, "dp"))
+    row_slices = {s.index[0] for s in om_in.addressable_shards}
+    sizes = {(sl.stop if sl.stop is not None else 8)
+             - (sl.start if sl.start is not None else 0)
+             for sl in row_slices}
+    assert sizes == {8 // mesh8.shape["dp"]}, (
+        f"expected dp-sharded pair axis, got shard slices {row_slices}")
+    assert len(row_slices) == mesh8.shape["dp"]

@@ -54,7 +54,8 @@ def optimize_spline_batch(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    single = cfg.energy.mode in ("single", "jvp")
+    single = cfg.energy.mode in ("single", "single_fused",
+                                 "single_fused_bf16", "jvp")
     if single:
         from vae_latent_geometry_tpu.models import vae as vae_lib
 
