@@ -91,8 +91,11 @@ def bench_jax(mode: str = "mc") -> float:
     return STEPS_MEASURE / dt
 
 
-def bench_torch_baseline(steps: int = 3) -> float:
-    """Reference-equivalent PyTorch workload on CPU (own implementation)."""
+def bench_torch_baseline(steps: int = 10):
+    """Reference-equivalent PyTorch workload on CPU (own implementation).
+
+    Returns (steps_per_sec, rel_spread) measured over ``steps`` steps with a
+    per-step min/max spread estimate."""
     import torch
 
     torch.manual_seed(12)
@@ -153,37 +156,52 @@ def bench_torch_baseline(steps: int = 3) -> float:
         opt.step()
 
     one_step()  # warmup/allocation
-    t0 = time.perf_counter()
+    times = []
     for _ in range(steps):
+        t0 = time.perf_counter()
         one_step()
-    return steps / (time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    return float(1.0 / times.mean()), float(
+        (times.max() - times.min()) / times.mean())
 
 
 def main():
     fresh_baseline = "--fresh-baseline" in sys.argv
     if os.path.exists(BASELINE_CACHE) and not fresh_baseline:
-        baseline = json.loads(open(BASELINE_CACHE).read())["steps_per_sec"]
+        cache = json.loads(open(BASELINE_CACHE).read())
+        baseline = cache["steps_per_sec"]
+        spread = cache.get("rel_spread")
     else:
-        baseline = bench_torch_baseline()
+        baseline, spread = bench_torch_baseline()
         with open(BASELINE_CACHE, "w") as f:
-            json.dump({"steps_per_sec": baseline,
+            json.dump({"steps_per_sec": baseline, "rel_spread": spread,
+                       "steps_measured": 10,
                        "workload": f"B={B},T={T},Mdec={M_DEC},MC={MC}",
                        "device": "torch-cpu"}, f)
 
     # headline: the fused Pallas MC path (identical estimator semantics to
     # the reference); fall back to the XLA MC path if the kernel cannot
-    # compile on this backend.
-    try:
-        ours = bench_jax("mc_fused")
-    except Exception as ex:
-        print(f"[bench] fused kernel unavailable ({type(ex).__name__}); "
-              "falling back to XLA MC path", file=sys.stderr)
-        ours = bench_jax("mc")
+    # compile on this backend.  The ladder records every rung so the
+    # headline has an honest context: the torch-CPU denominator is a
+    # last-resort stand-in (the reference publishes no speed numbers and
+    # this image has no CUDA — BASELINE.md).
+    ladder = {}
+    for mode in ("mc_fused", "expected_fused", "mc"):
+        try:
+            ladder[mode] = round(bench_jax(mode), 3)
+        except Exception as ex:
+            print(f"[bench] mode {mode} failed ({type(ex).__name__}: {ex})",
+                  file=sys.stderr)
+    ours = ladder.get("mc_fused") or ladder.get("mc")
     print(json.dumps({
         "metric": "ensemble_energy_opt_steps_per_sec_B200_T2000_10dec",
-        "value": round(ours, 3),
+        "value": ours,
         "unit": "steps/s",
         "vs_baseline": round(ours / baseline, 2),
+        "ladder_steps_per_sec": ladder,
+        "torch_cpu_baseline": {"steps_per_sec": round(baseline, 4),
+                               "rel_spread": spread},
     }))
 
 

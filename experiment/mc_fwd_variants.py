@@ -148,21 +148,30 @@ def main():
 
         @jax.jit
         def many(g0, g1):
-            def body(acc, _):
-                return acc + jnp.sum(call(g0, g1, dd1, dd2, *ws, *bs)), None
-            s, _ = jax.lax.scan(body, 0.0, None, length=CALLS)
+            # per-iteration perturbation defeats loop-invariant code motion
+            # (a constant body lets XLA hoist the kernel out of the scan)
+            eps = jnp.arange(CALLS, dtype=jnp.float32) * 1e-12
+
+            def body(acc, e):
+                return acc + jnp.sum(call(g0 + e, g1, dd1, dd2, *ws, *bs)), None
+            s, _ = jax.lax.scan(body, 0.0, eps)
             return s
 
-        t0 = time.perf_counter()
-        v = float(many(*g_planes))
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(many(*g_planes))
-        dt = (time.perf_counter() - t0) / CALLS
+        try:
+            t0 = time.perf_counter()
+            v = float(many(*g_planes))
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(many(*g_planes))
+            dt = (time.perf_counter() - t0) / CALLS
+        except Exception as ex:
+            print(f"[{variant}] FAILED: {type(ex).__name__}: "
+                  f"{str(ex)[:200]}", flush=True)
+            continue
         if variant == "v0":
             ref_val = v
         ok = "" if ref_val is None or variant == "v1" else \
-            f" match_v0={abs(v - ref_val) < abs(ref_val) * 1e-5}"
+            f" match_v0={abs(v - ref_val) < abs(ref_val) * 1e-4}"
         print(f"[{variant}] Tc={Tc} {1000 * dt:.2f} ms/call "
               f"(compile {compile_s:.0f}s){ok}", flush=True)
 

@@ -90,19 +90,27 @@ def main():
         phi = design_matrix(t_lin, basis, 4)
         gamma = eval_spline_design(omega, a, b, phi, t_lin)
 
+        # per-iteration perturbations defeat loop-invariant code motion (a
+        # constant body would let XLA hoist the kernel out of the scan)
+        eps = jnp.arange(STEPS, dtype=jnp.float32) * 1e-12
+
         @jax.jit
         def fwd_mc(key):
-            def body(acc, k):
+            def body(acc, xs):
+                k, e = xs
                 d1, d2 = sample_decoder_indices(k, T, B, M_DEC, MC)
-                return acc + jnp.sum(energy_mc_fused(decoders, gamma, d1, d2)), None
-            s, _ = jax.lax.scan(body, 0.0, jax.random.split(key, STEPS))
+                return acc + jnp.sum(
+                    energy_mc_fused(decoders, gamma + e, d1, d2)), None
+            s, _ = jax.lax.scan(body, 0.0,
+                                (jax.random.split(key, STEPS), eps))
             return s
 
         @jax.jit
         def fwd_exp(key):
-            def body(acc, k):
-                return acc + jnp.sum(energy_expected_fused(decoders, gamma)), None
-            s, _ = jax.lax.scan(body, 0.0, jax.random.split(key, STEPS))
+            def body(acc, e):
+                return acc + jnp.sum(
+                    energy_expected_fused(decoders, gamma + e)), None
+            s, _ = jax.lax.scan(body, 0.0, eps)
             return s
 
         for name, fn in (("mc_fused_fwdonly", fwd_mc),

@@ -145,21 +145,28 @@ def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
     for s in range(S):
         lo_ext[s, pl.ds(0, 8), :, :] = jnp.zeros((8, B, X), jnp.float32)
 
+    ones_x = jnp.ones((1, 1, X), jnp.float32)
+
     def body(c, _):
         start = pl.multiple_of(c * Tc, 8)
         g_planes = [g_refs[d][pl.ds(start, Tc), :] for d in range(D)]
-        m1s = [d1_ref[s, pl.ds(start, Tc), :] for s in range(S)]  # d1[t]
-        m2s = [d2_ref[s, pl.ds(start, Tc), :] for s in range(S)]  # d2[t-1]
+        # broadcast each index plane to the 3D (lane = X) layout ONCE per
+        # (sample, side); the per-decoder compares then stay in-layout.
+        # (Per-decoder 2D->3D mask relayouts measured 3.7 ms of a 5.7 ms
+        # forward at the reference workload — experiment/mc_fwd_variants.py.)
+        d1_3 = [d1_ref[s, pl.ds(start, Tc), :]
+                .astype(jnp.float32)[:, :, None] * ones_x for s in range(S)]
+        d2_3 = [d2_ref[s, pl.ds(start, Tc), :]
+                .astype(jnp.float32)[:, :, None] * ones_x for s in range(S)]
         los = [jnp.zeros((Tc, B, X), jnp.float32) for _ in range(S)]
         his = [jnp.zeros((Tc, B, X), jnp.float32) for _ in range(S)]
         for m in range(M):
             h1 = _first_layer(g_planes, ws[0][m], bs[0][m], dtype)
             x = _tail_layers(h1, ws, bs, m, dtype).reshape(Tc, B, X)
+            fm = jnp.float32(m)
             for s in range(S):
-                w1 = (m1s[s] == m).astype(jnp.float32)[:, :, None]
-                w2 = (m2s[s] == m).astype(jnp.float32)[:, :, None]
-                los[s] = los[s] + w1 * x
-                his[s] = his[s] + w2 * x
+                los[s] = los[s] + jnp.where(d1_3[s] == fm, x, 0.0)
+                his[s] = his[s] + jnp.where(d2_3[s] == fm, x, 0.0)
 
         first_w = jnp.where(c == 0, 0.0, 1.0)
         seg_total = jnp.zeros((Tc, B), jnp.float32)
@@ -212,22 +219,26 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
             + c * Tc - 1
         seg_valid = ((seg_ids >= 0) & (seg_ids <= T - 2)).astype(jnp.float32)
 
-        dd1s, dd2s = [], []
+        ones_x = jnp.ones((1, 1, X), jnp.float32)
+        # one 2D->3D broadcast per (sample, side); per-decoder compares stay
+        # in-layout (see the forward kernel note)
+        dd1_3, dd2_3 = [], []
         x1s = [jnp.zeros((Tc + 1, B, X), jnp.float32) for _ in range(S)]
         x2s = [jnp.zeros((Tc + 1, B, X), jnp.float32) for _ in range(S)]
         for s in range(S):
             w1 = d1_ref[s, pl.ds(start, Tc + 8), :]
             w2 = d2_ref[s, pl.ds(start, Tc + 8), :]
-            dd1s.append(w1[0:Tc + 1, :])                     # (Tc+1, B)
-            dd2s.append(w2[0:Tc + 1, :])
+            dd1_3.append(w1[0:Tc + 1, :].astype(jnp.float32)[:, :, None]
+                         * ones_x)
+            dd2_3.append(w2[0:Tc + 1, :].astype(jnp.float32)[:, :, None]
+                         * ones_x)
         for m in range(M):
             h1 = _first_layer(halo_planes, ws[0][m], bs[0][m], dtype)
             xa = _tail_layers(h1, ws, bs, m, dtype).reshape(Tc + 2, B, X)
+            fm = jnp.float32(m)
             for s in range(S):
-                m1 = (dd1s[s] == m).astype(jnp.float32)[:, :, None]
-                m2 = (dd2s[s] == m).astype(jnp.float32)[:, :, None]
-                x1s[s] = x1s[s] + m1 * xa[0:Tc + 1]
-                x2s[s] = x2s[s] + m2 * xa[1:Tc + 2]
+                x1s[s] = x1s[s] + jnp.where(dd1_3[s] == fm, xa[0:Tc + 1], 0.0)
+                x2s[s] = x2s[s] + jnp.where(dd2_3[s] == fm, xa[1:Tc + 2], 0.0)
         for s in range(S):
             d_val = (x2s[s] - x1s[s]) * seg_valid[:, :, None]
             diffs[s, pl.ds(0, Tc + 8), :, :] = jnp.pad(
@@ -235,17 +246,22 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
 
         scale = (2.0 / S) * ct[None, :, None]
         dgs = [jnp.zeros((Tc, B), jnp.float32) for _ in range(D)]
+        # hoist the index-window broadcasts and diff reads out of the m loop
+        dcur_3, dprev_3, dfs = [], [], []
+        for s in range(S):
+            w1 = d1_ref[s, pl.ds(start, Tc + 8), :]
+            w2 = d2_ref[s, pl.ds(start, Tc + 8), :]
+            dcur_3.append(w1[1:Tc + 1, :].astype(jnp.float32)[:, :, None]
+                          * ones_x)                          # col of seg t
+            dprev_3.append(w2[0:Tc, :].astype(jnp.float32)[:, :, None]
+                           * ones_x)                         # col of seg t-1
+            dfs.append(diffs[s, :, :, :])
         for m in range(M):
+            fm = jnp.float32(m)
             dx = jnp.zeros((Tc, B, X), jnp.float32)
             for s in range(S):
-                w1 = d1_ref[s, pl.ds(start, Tc + 8), :]
-                w2 = d2_ref[s, pl.ds(start, Tc + 8), :]
-                dd1_row = w1[1:Tc + 1, :]                    # col of seg t
-                dd2_row = w2[0:Tc, :]                        # col of seg t-1
-                m1 = (dd1_row == m).astype(jnp.float32)[:, :, None]
-                m2 = (dd2_row == m).astype(jnp.float32)[:, :, None]
-                df = diffs[s, :, :, :]
-                dx = dx - m1 * df[1:Tc + 1] + m2 * df[0:Tc]
+                dx = dx - jnp.where(dcur_3[s] == fm, dfs[s][1:Tc + 1], 0.0) \
+                    + jnp.where(dprev_3[s] == fm, dfs[s][0:Tc], 0.0)
             dx = dx * scale
 
             h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
