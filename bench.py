@@ -91,6 +91,64 @@ def bench_jax(mode: str = "mc") -> float:
     return STEPS_MEASURE / dt
 
 
+def numerics_check(decoders) -> dict:
+    """On-hardware numerics gate: median rel error of the energy paths vs a
+    float64 host recomputation on SMOOTH curves.
+
+    Smoothness is the adversarial case: adjacent decoded samples differ by
+    ~|x|/T, far below bf16's input rounding, so any path that lets the MXU
+    round f32 inputs to bf16 (JAX's DEFAULT matmul precision on TPU) turns
+    the discrete energy into rounding noise.  Random-curve tests cannot see
+    this; this check runs on the real device right before timing it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.geometry import energy as E
+    from vae_latent_geometry_tpu.ops.energy_pallas import (
+        energy_expected_fused,
+    )
+
+    rng = np.random.default_rng(7)
+    Tn, Bn = 2000, 16
+    t = np.linspace(0, 1, Tn)[:, None, None]
+    a = rng.normal(size=(1, Bn, 2))
+    b = rng.normal(size=(1, Bn, 2))
+    g64 = (1 - t) * a + t * b + 0.3 * np.sin(np.pi * t * 3) * rng.normal(
+        size=(1, Bn, 2))
+    g = jnp.asarray(g64, jnp.float32)
+
+    ws = [np.asarray(l["w"]).astype(np.float64)
+          for l in decoders["layers"]]
+    bs = [np.asarray(l["b"]).astype(np.float64)
+          for l in decoders["layers"]]
+    M = ws[0].shape[0]
+    xs = []
+    for m in range(M):
+        h = g64.reshape(-1, 2)
+        for i in range(len(ws)):
+            h = h @ ws[i][m] + bs[i][m]
+            if i < len(ws) - 1:
+                h = np.maximum(h, 0)
+        xs.append(h.reshape(Tn, Bn, -1))
+    xs = np.stack(xs)
+    xbar = xs.mean(0)
+    sq = (xs ** 2).sum(-1).mean(0)
+    truth = (sq[1:] + sq[:-1] - 2 * (xbar[1:] * xbar[:-1]).sum(-1)).sum(0)
+
+    def medrel(e):
+        e = np.asarray(e)
+        return float(np.median(np.abs(e - truth) / np.abs(truth)))
+
+    out = {"xla_expected": medrel(E.energy_expected(decoders, g))}
+    try:
+        out["fused_expected"] = medrel(
+            energy_expected_fused(decoders, g, None, "float32"))
+    except Exception as ex:  # pragma: no cover
+        out["fused_expected"] = f"failed: {type(ex).__name__}"
+    return out
+
+
 def bench_torch_baseline(steps: int = 10):
     """Reference-equivalent PyTorch workload on CPU (own implementation).
 
@@ -194,12 +252,39 @@ def main():
             print(f"[bench] mode {mode} failed ({type(ex).__name__}: {ex})",
                   file=sys.stderr)
     ours = ladder.get("mc_fused") or ladder.get("mc")
+
+    # on-hardware numerics gate (see numerics_check docstring): a steps/s
+    # number on silently-corrupted arithmetic is not a result
+    import jax
+    import jax.numpy as jnp
+
+    if os.path.exists(EVAE_CKPT):
+        from vae_latent_geometry_tpu.models.torch_import import (
+            load_evae_checkpoint,
+        )
+
+        dec = jax.tree_util.tree_map(
+            jnp.asarray, load_evae_checkpoint(EVAE_CKPT).decoders)
+    else:
+        from vae_latent_geometry_tpu.config import ModelConfig
+        from vae_latent_geometry_tpu.models.evae import evae_init
+
+        dec = evae_init(jax.random.PRNGKey(0), ModelConfig()).decoders
+    numerics = numerics_check(dec)
+    bad = [k for k, v in numerics.items()
+           if not isinstance(v, float) or v > 1e-3]
+    if bad:
+        print(f"[bench] NUMERICS GATE FAILED for {bad}: {numerics}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "ensemble_energy_opt_steps_per_sec_B200_T2000_10dec",
         "value": ours,
         "unit": "steps/s",
         "vs_baseline": round(ours / baseline, 2),
         "ladder_steps_per_sec": ladder,
+        "numerics_gate_medrel_vs_float64": numerics,
+        "numerics_gate_ok": not bad,
         "torch_cpu_baseline": {"steps_per_sec": round(baseline, 4),
                                "rel_spread": spread},
     }))

@@ -35,6 +35,7 @@ except Exception:  # pragma: no cover
 from vae_latent_geometry_tpu.ops.energy_pallas import (
     _cast_ws,
     _compiler_params,
+    _dot_precision,
     _first_layer,
     _gamma_planes,
     _gamma_planes_padded,
@@ -270,7 +271,8 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
             for i in range(n_layers - 1, 0, -1):
                 w = ws[i][m].astype(dtype)
                 dh = jnp.dot(dh.astype(dtype), w.T,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_dot_precision(dtype))
                 act = acts[i - 2] if i >= 2 else h1
                 dh = dh * (act > 0.0)
             dh3 = dh.reshape(Tc, B, ws[0].shape[-1])

@@ -120,6 +120,21 @@ def _first_layer(g_planes, w1, b1, dtype):
     return h.reshape(Tc * B, w1.shape[1])
 
 
+def _dot_precision(dtype):
+    """MXU pass count for the compute dtype.
+
+    CRITICAL for f32: with DEFAULT precision the MXU rounds f32 inputs to
+    bfloat16 (one pass).  The decoded points of adjacent t-samples on a
+    smooth curve differ by ~|x|/T ~ 5e-4 |x|, far below bf16's ~4e-3 input
+    rounding, so the discrete energy sum_t ||x_{t+1} - x_t||^2 becomes pure
+    rounding noise (measured: ~6x median error vs float64 on real curves).
+    HIGHEST forces full-f32 multi-pass matmuls; the kernel is memory-bound
+    enough that the extra passes cost far less than they look on paper.
+    """
+    return (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
 def _tail_layers(h, ws, bs, m, dtype, start: int = 1, keep_acts: bool = False):
     """Apply layers [start:] of decoder m to (rows, H): matmuls on the MXU."""
     acts = []
@@ -127,7 +142,8 @@ def _tail_layers(h, ws, bs, m, dtype, start: int = 1, keep_acts: bool = False):
     for i in range(start, n_layers):
         w = ws[i][m].astype(dtype)
         b = bs[i][m].astype(jnp.float32)
-        h = jnp.dot(h.astype(dtype), w, preferred_element_type=jnp.float32) + b
+        h = jnp.dot(h.astype(dtype), w, preferred_element_type=jnp.float32,
+                    precision=_dot_precision(dtype)) + b
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
             if keep_acts:
@@ -255,7 +271,8 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
             for i in range(n_layers - 1, 0, -1):
                 w = ws[i][m].astype(dtype)
                 dh = jnp.dot(dh.astype(dtype), w.T,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_dot_precision(dtype))
                 act = acts[i - 2] if i >= 2 else h1
                 dh = dh * (act > 0.0)
             # first layer backprop: dg_d = sum_h dh1[:, h] * W1[d, h]
