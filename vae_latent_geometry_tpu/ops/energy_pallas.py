@@ -65,11 +65,14 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 # Batch-block size: batches up to 256 run as a single block (the reference
 # B=200 workload, measured well within VMEM); larger batches are gridded
-# into 128-wide blocks pipelined through VMEM.
+# into 128-wide blocks pipelined through VMEM.  The MC kernels carry extra
+# per-sample planes AND multi-pass full-precision matmuls need larger stack
+# temporaries (measured: Bb=200 MC backward hits 113 MB scoped vmem vs the
+# 100 MB limit), so their blocks are capped at 128.
 _SINGLE_BLOCK_MAX = 256
 _GRID_BB = 128
 _MAX_BB_EXPECTED = _SINGLE_BLOCK_MAX
-_MAX_BB_MC = _SINGLE_BLOCK_MAX
+_MAX_BB_MC = _GRID_BB
 
 
 def _compiler_params():
@@ -80,8 +83,12 @@ def _compiler_params():
 
 
 def _pick_bb(B: int, max_bb: int = _SINGLE_BLOCK_MAX) -> int:
-    """Batch-block width for the B-axis grid."""
-    return B if B <= max_bb else _GRID_BB
+    """Batch-block width for the B-axis grid: balanced blocks (so e.g.
+    B=200 with a 128 cap runs as 2x104, not 128+pad-heavy 2x128)."""
+    if B <= max_bb:
+        return B
+    n_blocks = -(-B // max_bb)
+    return _round_up(-(-B // n_blocks), 8)
 
 
 def _pick_chunk(T: int, B: int, target_rows: int = 4096) -> int:
