@@ -131,7 +131,8 @@ def test_single_fused_mode_matches_single(rng):
     basis, _ = nullspace_basis(4)
     omega0 = jnp.zeros((B, 5, 2))
     cfg_f = GeodesicConfig(steps=30, lr=1e-2,
-                           energy=EnergyConfig(num_t=32, mode="single_fused"))
+                           energy=EnergyConfig(num_t=32, mode="single_fused",
+                                               kernel_precision="float32"))
     cfg_x = GeodesicConfig(steps=30, lr=1e-2,
                            energy=EnergyConfig(num_t=32, mode="single"))
     rf = optimize_splines(dec, omega0, a, b, basis, cfg_f)
@@ -140,6 +141,16 @@ def test_single_fused_mode_matches_single(rng):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(rf.omega), np.asarray(rx.omega),
                                rtol=1e-3, atol=1e-5)
+    # reduced-precision rungs wobble the trajectory but the final (exact)
+    # energies must still agree
+    for prec in ("f32x3", "f32x2"):
+        cfg_p = GeodesicConfig(steps=30, lr=1e-2,
+                               energy=EnergyConfig(num_t=32,
+                                                   mode="single_fused",
+                                                   kernel_precision=prec))
+        rp = optimize_splines(dec, omega0, a, b, basis, cfg_p)
+        np.testing.assert_allclose(np.asarray(rp.energy),
+                                   np.asarray(rx.energy), rtol=1e-3)
 
 
 def test_fused_mode_in_optimizer(rng):

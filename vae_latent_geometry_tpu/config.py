@@ -54,6 +54,11 @@ class EnergyConfig:
     mc_samples: int = 2          # M independent decoder-pair draws
     mode: str = "mc"             # "single" | "mc" | "expected" | "jvp"
     endpoint_weight: float = 1000.0
+    # MXU precision rung for fused-kernel optimization steps ("float32" |
+    # "f32x3" | "f32x2"; see ops/energy_pallas.py precision ladder).  Final
+    # energies are always re-evaluated at "float32" after the scan, so this
+    # only affects the optimization trajectory, not reported numbers.
+    kernel_precision: str = "f32x3"
 
 
 @dataclass(frozen=True)

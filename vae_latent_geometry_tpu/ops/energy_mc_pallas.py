@@ -33,10 +33,12 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from vae_latent_geometry_tpu.ops.energy_pallas import (
+    PRECISIONS,
     _cast_ws,
     _compiler_params,
-    _dot_precision,
     _first_layer,
+    _mp_dot,
+    _prep_ws_m,
     _gamma_planes,
     _gamma_planes_padded,
     _is_tpu,
@@ -140,6 +142,7 @@ def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
+    wp = [_prep_ws_m(ws, m, dtype) for m in range(M)]  # split once
     n_chunks = T // Tc
 
     out_ref[:] = jnp.zeros_like(out_ref)
@@ -163,7 +166,8 @@ def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
         his = [jnp.zeros((Tc, B, X), jnp.float32) for _ in range(S)]
         for m in range(M):
             h1 = _first_layer(g_planes, ws[0][m], bs[0][m], dtype)
-            x = _tail_layers(h1, ws, bs, m, dtype).reshape(Tc, B, X)
+            x = _tail_layers(h1, ws, bs, m, dtype,
+                             wpairs=wp[m]).reshape(Tc, B, X)
             fm = jnp.float32(m)
             for s in range(S):
                 los[s] = los[s] + jnp.where(d1_3[s] == fm, x, 0.0)
@@ -206,6 +210,7 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
+    wp = [_prep_ws_m(ws, m, dtype) for m in range(M)]
     n_chunks = T // Tc
     ct = ct_ref[0, :]
 
@@ -235,7 +240,8 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
                          * ones_x)
         for m in range(M):
             h1 = _first_layer(halo_planes, ws[0][m], bs[0][m], dtype)
-            xa = _tail_layers(h1, ws, bs, m, dtype).reshape(Tc + 2, B, X)
+            xa = _tail_layers(h1, ws, bs, m, dtype,
+                              wpairs=wp[m]).reshape(Tc + 2, B, X)
             fm = jnp.float32(m)
             for s in range(S):
                 x1s[s] = x1s[s] + jnp.where(dd1_3[s] == fm, xa[0:Tc + 1], 0.0)
@@ -266,13 +272,11 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
             dx = dx * scale
 
             h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
-            _, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True)
+            _, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
+                                   wpairs=wp[m])
             dh = dx.reshape(Tc * B, X)
             for i in range(n_layers - 1, 0, -1):
-                w = ws[i][m].astype(dtype)
-                dh = jnp.dot(dh.astype(dtype), w.T,
-                             preferred_element_type=jnp.float32,
-                             precision=_dot_precision(dtype))
+                dh = _mp_dot(dh, wp[m][i], dtype, transpose=True)
                 act = acts[i - 2] if i >= 2 else h1
                 dh = dh * (act > 0.0)
             dh3 = dh.reshape(Tc, B, ws[0].shape[-1])
@@ -354,16 +358,18 @@ def _common(decoders, gamma):
 def _fwd_impl(decoders, gamma, d1, d2, precision):
     T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _common(decoders, gamma)
     S = d1.shape[0]
-    dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    if precision not in PRECISIONS:
+        raise ValueError(f"unknown kernel precision {precision!r}")
+    ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     gamma_p = _pad_b(gamma, B_pad, axis=1)
-    fwd = _build("fwd", T, B_pad, Bb, D, X, M, S, Tc, len(ws), dtype,
+    fwd = _build("fwd", T, B_pad, Bb, D, X, M, S, Tc, len(ws), precision,
                  not _is_tpu(), ws, bs)
     # fwd index layouts: d1 raw (segment t at column t, for lo(t)); d2 with
     # one leading dummy (segment t-1 at column t, for hi(t))
     out = fwd(*_gamma_planes(gamma_p),
               _pad_b(_pad_indices_raw(d1), B_pad, axis=2),
               _pad_b(_pad_indices(d2), B_pad, axis=2),
-              *_cast_ws(ws, dtype), *bs)
+              *_cast_ws(ws, ship), *bs)
     return out[0, :B], (decoders, gamma, d1, d2)
 
 
@@ -376,18 +382,18 @@ def _bwd_rule(precision, res, ct):
     decoders, gamma, d1, d2 = res
     T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _common(decoders, gamma)
     S = d1.shape[0]
-    dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     gamma_p = _pad_b(gamma, B_pad, axis=1)
     ct_p = _pad_b(ct.reshape(1, B).astype(jnp.float32), B_pad, axis=1)
     if B_pad != B:
         lane = jnp.arange(B_pad)[None, :] < B
         ct_p = ct_p * lane.astype(jnp.float32)
-    bwd = _build("bwd", T, B_pad, Bb, D, X, M, S, Tc, len(ws), dtype,
+    bwd = _build("bwd", T, B_pad, Bb, D, X, M, S, Tc, len(ws), precision,
                  not _is_tpu(), ws, bs)
     dplanes = bwd(*_gamma_planes_padded(gamma_p),
                   _pad_b(_pad_indices(d1, trailing=8), B_pad, axis=2),
                   _pad_b(_pad_indices(d2, trailing=8), B_pad, axis=2),
-                  ct_p, *_cast_ws(ws, dtype), *bs)
+                  ct_p, *_cast_ws(ws, ship), *bs)
     dgamma = jnp.stack(dplanes, axis=-1)[:, :B]
     zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, decoders)
     return (zeros_dec, dgamma, jnp.zeros_like(d1), jnp.zeros_like(d2))

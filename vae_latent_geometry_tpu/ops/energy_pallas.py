@@ -127,30 +127,88 @@ def _first_layer(g_planes, w1, b1, dtype):
     return h.reshape(Tc * B, w1.shape[1])
 
 
-def _dot_precision(dtype):
-    """MXU pass count for the compute dtype.
+# ---------------------------------------------------------------------------
+# MXU precision ladder.
+#
+# CRITICAL: with Mosaic's DEFAULT dot precision the MXU rounds f32 inputs to
+# bfloat16 (~2^-9 input rounding).  The decoded points of adjacent t-samples
+# on a smooth curve differ by ~|x|/T ~ 5e-4 |x|, far below that rounding, so
+# the discrete energy sum_t ||x_{t+1} - x_t||^2 becomes pure rounding noise
+# (measured on a v5e: ~6x median error vs float64 on real curves, invisible
+# to random-curve tests).  Mosaic only exposes DEFAULT and HIGHEST (6-pass
+# exact f32, measured ~5x slower than 1-pass), so intermediate rungs are
+# built by hand from bf16 hi/lo splits (a = a_hi + a_lo, each bf16; every
+# partial product is one MXU pass with f32 accumulation):
+#
+#   precision    passes  per-point x error    use
+#   "float32"    6       ~f32 exact           parity / final evaluation
+#   "f32x3"      3       ~4e-6 |x|            default optimization steps
+#   "f32x2"      2       ~4e-6|x| + smooth    bulk optimization steps
+#                        bf16-weight bias     (finish at "float32")
+#   "bfloat16"   1       ~2e-3 |x|            NOT usable for smooth curves
+#
+# "f32x2" keeps weights in plain bf16: a t-CONSTANT perturbation of the
+# decoder (a slightly different, equally smooth function) that biases the
+# energy smoothly instead of adding per-sample noise — safe for optimization
+# when final energies are re-evaluated at "float32" (optim/geodesic does).
+# ---------------------------------------------------------------------------
 
-    CRITICAL for f32: with DEFAULT precision the MXU rounds f32 inputs to
-    bfloat16 (one pass).  The decoded points of adjacent t-samples on a
-    smooth curve differ by ~|x|/T ~ 5e-4 |x|, far below bf16's ~4e-3 input
-    rounding, so the discrete energy sum_t ||x_{t+1} - x_t||^2 becomes pure
-    rounding noise (measured: ~6x median error vs float64 on real curves).
-    HIGHEST forces full-f32 multi-pass matmuls; the kernel is memory-bound
-    enough that the extra passes cost far less than they look on paper.
-    """
-    return (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
+PRECISIONS = ("float32", "f32x3", "f32x2", "bfloat16")
 
 
-def _tail_layers(h, ws, bs, m, dtype, start: int = 1, keep_acts: bool = False):
+def _split_hi_lo(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _prep_w(w, prec):
+    """Weight preparation, once per kernel invocation (outside the chunk
+    loop): the (w_main, w_lo) pair consumed by :func:`_mp_dot`."""
+    if prec == "float32":
+        return (w, None)
+    hi, lo = _split_hi_lo(w)
+    if prec == "f32x3":
+        return (hi, lo)
+    return (hi, None)                      # f32x2 / bfloat16
+
+
+def _mp_dot(h, wpair, prec, transpose: bool = False):
+    """Multi-pass h @ w (or h @ w.T) at the requested precision rung;
+    always f32-accumulated."""
+    w, w_lo = wpair
+    if transpose:
+        w = w.T
+        w_lo = None if w_lo is None else w_lo.T
+    if prec == "float32":
+        return jnp.dot(h, w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if prec == "bfloat16":
+        return jnp.dot(h.astype(jnp.bfloat16), w,
+                       preferred_element_type=jnp.float32)
+    h_hi, h_lo = _split_hi_lo(h)
+    out = jnp.dot(h_hi, w, preferred_element_type=jnp.float32) \
+        + jnp.dot(h_lo, w, preferred_element_type=jnp.float32)
+    if w_lo is not None:                   # f32x3: + h_hi * w_lo
+        out = out + jnp.dot(h_hi, w_lo, preferred_element_type=jnp.float32)
+    return out
+
+
+def _prep_ws_m(ws, m, prec):
+    """Split decoder m's tail-layer weights once for the whole kernel body."""
+    return [None if i == 0 else _prep_w(ws[i][m], prec)
+            for i in range(len(ws))]
+
+
+def _tail_layers(h, ws, bs, m, prec, start: int = 1, keep_acts: bool = False,
+                 wpairs=None):
     """Apply layers [start:] of decoder m to (rows, H): matmuls on the MXU."""
     acts = []
     n_layers = len(ws)
     for i in range(start, n_layers):
-        w = ws[i][m].astype(dtype)
+        wpair = wpairs[i] if wpairs is not None else _prep_w(ws[i][m], prec)
         b = bs[i][m].astype(jnp.float32)
-        h = jnp.dot(h.astype(dtype), w, preferred_element_type=jnp.float32,
-                    precision=_dot_precision(dtype)) + b
+        h = _mp_dot(h, wpair, prec) + b
         if i < n_layers - 1:
             h = jnp.maximum(h, 0.0)
             if keep_acts:
@@ -158,9 +216,9 @@ def _tail_layers(h, ws, bs, m, dtype, start: int = 1, keep_acts: bool = False):
     return (h, acts) if keep_acts else h
 
 
-def _decode_planes(g_planes, ws, bs, m, dtype):
-    h1 = _first_layer(g_planes, ws[0][m], bs[0][m], dtype)
-    return _tail_layers(h1, ws, bs, m, dtype)
+def _decode_planes(g_planes, ws, bs, m, prec, wpairs=None):
+    h1 = _first_layer(g_planes, ws[0][m], bs[0][m], prec)
+    return _tail_layers(h1, ws, bs, m, prec, wpairs=wpairs)
 
 
 def _fwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
@@ -175,6 +233,7 @@ def _fwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
+    wp = [_prep_ws_m(ws, m, dtype) for m in range(M)]  # split once, not per chunk
     wmb = wmb_ref[:]                       # (M, B)
     n_chunks = T // Tc
 
@@ -192,11 +251,12 @@ def _fwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
         # geometry/energy.energy_expected): decode decoder 0, then accumulate
         # weighted deviations y_m = x_m - x_0.  Requires sum_m w[m, b] == 1
         # (mean weights), which uniform_weights/active_weights guarantee.
-        x0 = _decode_planes(g_planes, ws, bs, 0, dtype).reshape(Tc, B, X)
+        x0 = _decode_planes(g_planes, ws, bs, 0, dtype,
+                            wp[0]).reshape(Tc, B, X)
         ybar = jnp.zeros((Tc, B, X), jnp.float32)
         sqy = jnp.zeros((Tc, B), jnp.float32)
         for m in range(1, M):
-            x = _decode_planes(g_planes, ws, bs, m, dtype)   # (Tc*B, X)
+            x = _decode_planes(g_planes, ws, bs, m, dtype, wp[m])  # (Tc*B, X)
             y = x.reshape(Tc, B, X) - x0
             w_m = wmb[m, :][None, :]                         # (1, B)
             ybar = ybar + w_m[:, :, None] * y
@@ -242,6 +302,7 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
+    wp = [_prep_ws_m(ws, m, dtype) for m in range(M)]
     wmb = wmb_ref[:]
     n_chunks = T // Tc
     ct = ct_ref[0, :]                     # (B,)
@@ -256,7 +317,7 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
 
         xbar = jnp.zeros((Tc + 2, B, X), jnp.float32)
         for m in range(M):
-            xm = _decode_planes(halo_planes, ws, bs, m, dtype)
+            xm = _decode_planes(halo_planes, ws, bs, m, dtype, wp[m])
             xbar = xbar + wmb[m, :][None, :, None] * xm.reshape(Tc + 2, B, X)
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0) + c * Tc
@@ -271,15 +332,13 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
             # dE/dx_{m,t} = 2 w_{m,b} ct_b (c_coeff x_{m,t} - xbar_{t-1} - xbar_{t+1})
             scale = 2.0 * (wmb[m, :] * ct)[None, :, None]  # (1, B, 1)
             h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
-            x, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True)
+            x, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
+                                   wpairs=wp[m])
             x3 = x.reshape(Tc, B, X)
             dx = scale * (c_coeff * x3 - left - right)    # (Tc, B, X)
             dh = dx.reshape(Tc * B, X)
             for i in range(n_layers - 1, 0, -1):
-                w = ws[i][m].astype(dtype)
-                dh = jnp.dot(dh.astype(dtype), w.T,
-                             preferred_element_type=jnp.float32,
-                             precision=_dot_precision(dtype))
+                dh = _mp_dot(dh, wp[m][i], dtype, transpose=True)
                 act = acts[i - 2] if i >= 2 else h1
                 dh = dh * (act > 0.0)
             # first layer backprop: dg_d = sum_h dh1[:, h] * W1[d, h]
@@ -478,12 +537,14 @@ def _resolve_wmb(wmb, M, B_pad, B):
 
 def _fwd_impl(decoders, gamma, wmb, precision):
     T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _dims(decoders, gamma)
-    dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    if precision not in PRECISIONS:
+        raise ValueError(f"unknown kernel precision {precision!r}")
+    ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     gamma_p = _pad_b(gamma, B_pad, axis=1)
     wmb_p = _resolve_wmb(wmb, M, B_pad, B)
-    fwd = _build_fwd(T, B_pad, Bb, D, X, M, Tc, len(ws), dtype,
+    fwd = _build_fwd(T, B_pad, Bb, D, X, M, Tc, len(ws), precision,
                      interpret=not _is_tpu())(ws, bs)
-    out = fwd(*_gamma_planes(gamma_p), *_cast_ws(ws, dtype), *bs, wmb_p)
+    out = fwd(*_gamma_planes(gamma_p), *_cast_ws(ws, ship), *bs, wmb_p)
     return out[0, :B], (decoders, gamma, wmb)
 
 
@@ -495,7 +556,7 @@ def _fwd_rule(decoders, gamma, wmb, precision):
 def _bwd_rule(precision, res, ct):
     decoders, gamma, wmb = res
     T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _dims(decoders, gamma)
-    dtype = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     gamma_p = _pad_b(gamma, B_pad, axis=1)
     wmb_p = _resolve_wmb(wmb, M, B_pad, B)
     ct_p = _pad_b(ct.reshape(1, B).astype(jnp.float32), B_pad, axis=1)
@@ -504,10 +565,10 @@ def _bwd_rule(precision, res, ct):
     if B_pad != B:
         lane = jnp.arange(B_pad)[None, :] < B
         ct_p = ct_p * lane.astype(jnp.float32)
-    bwd = _build_bwd(T, B_pad, Bb, D, X, M, Tc, len(ws), dtype,
+    bwd = _build_bwd(T, B_pad, Bb, D, X, M, Tc, len(ws), precision,
                      interpret=not _is_tpu())(ws, bs)
     dplanes = bwd(*_gamma_planes_padded(gamma_p), ct_p,
-                  *_cast_ws(ws, dtype), *bs, wmb_p)
+                  *_cast_ws(ws, ship), *bs, wmb_p)
     dgamma = jnp.stack(dplanes, axis=-1)[:, :B]          # (T, B, D)
     zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, decoders)
     d_wmb = None if wmb is None else jnp.zeros_like(jnp.asarray(wmb))

@@ -19,6 +19,7 @@ splines with an active mask instead of one curve at a time.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Callable, NamedTuple, Optional
 
@@ -45,7 +46,7 @@ class GeodesicResult(NamedTuple):
 
 
 def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
-               num_active=None):
+               num_active=None, kernel_precision: str = "f32x3"):
     if mode == "single":
         return energy_lib.energy_single(decoders, gamma)
     if mode in ("single_fused", "single_fused_bf16"):
@@ -63,7 +64,7 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
         X = stacked["layers"][-1]["w"].shape[-1]
         if not fused_fits(T, B, D, X, 1):
             return energy_lib.energy_single(decoders, gamma)
-        precision = "bfloat16" if mode.endswith("bf16") else "float32"
+        precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
         return energy_expected_fused(stacked, gamma, None, precision)
     if mode == "mc":
         return energy_lib.energy_mc(decoders, gamma, key, mc_samples,
@@ -87,7 +88,7 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
                                         num_active)
         d1, d2 = sample_decoder_indices(key, T, B, m_dec, mc_samples,
                                         num_active)
-        precision = "bfloat16" if mode.endswith("bf16") else "float32"
+        precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
         return energy_mc_fused(decoders, gamma, d1, d2, precision)
     if mode == "expected":
         return energy_lib.energy_expected(decoders, gamma, num_active)
@@ -107,7 +108,7 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
         # masked-mean weight plane streamed into the kernel
         wmb = (active_weights(num_active, m_dec, B)
                if num_active is not None else None)
-        precision = "bfloat16" if mode.endswith("bf16") else "float32"
+        precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
         return energy_expected_fused(decoders, gamma, wmb, precision)
     if mode == "jvp":
         return energy_lib.energy_jvp(decoders, gamma, gamma_dot)
@@ -137,7 +138,7 @@ def make_loss_fn(decoders, basis, cfg: GeodesicConfig) -> Callable:
         gamma_dot = (eval_spline_velocity(omega, a, b, dphi)
                      if needs_vel else None)
         e = _energy_fn(e_cfg.mode, decoders, gamma, gamma_dot, key,
-                       e_cfg.mc_samples, num_active)
+                       e_cfg.mc_samples, num_active, e_cfg.kernel_precision)
         # endpoint penalty (reference src/optimize.py:158-160): exactly zero
         # in exact arithmetic because the basis enforces offset(1)=0, kept for
         # faithful gradients under float32.
@@ -170,8 +171,17 @@ def _optimize_scan(decoders, omega0, a, b, basis, key,
     (omega, _), hist = jax.lax.scan(step, (omega0, opt_state), keys)
     # final energy at the *final* params (the reference reports the energy of
     # the penultimate params; for converged runs these agree to MC noise).
-    _, e_final = loss_fn(omega, a, b, jax.random.fold_in(key, cfg.steps),
-                         num_active)
+    # Always evaluated at exact "float32" kernel precision — reduced-precision
+    # rungs (f32x3 / f32x2 / bf16) only steer the optimization trajectory,
+    # never the reported numbers.
+    cfg_exact = dataclasses.replace(
+        cfg, energy=dataclasses.replace(
+            cfg.energy,
+            mode=cfg.energy.mode.removesuffix("_bf16"),
+            kernel_precision="float32"))
+    exact_loss = make_loss_fn(decoders, basis, cfg_exact)
+    _, e_final = exact_loss(omega, a, b, jax.random.fold_in(key, cfg.steps),
+                            num_active)
     return omega, e_final, hist
 
 
