@@ -354,6 +354,20 @@ def cmd_stability(args):
         sys.exit(0 if same else 1)
 
 
+def cmd_golden(args):
+    """Real-data golden reproduction of the reference's 133x133
+    single-decoder matrix (see pipeline/golden.py)."""
+    import json
+
+    from vae_latent_geometry_tpu.pipeline.golden import run_golden
+
+    report = run_golden(args.seed, args.output, root=args.reference_root,
+                        steps=args.steps, num_t=args.num_t,
+                        batch_size=args.batch_size, mode=args.energy_mode,
+                        pairs_limit=args.pairs_limit)
+    print(json.dumps(report, indent=2))
+
+
 def cmd_bench(args):
     import subprocess
 
@@ -468,6 +482,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    gd = sub.add_parser(
+        "golden", help="reproduce the reference's real-data 133x133 "
+        "single-decoder matrix and compare to its golden JSON")
+    gd.add_argument("--seed", type=int, default=12, choices=[12, 123])
+    gd.add_argument("--output", default="experiment")
+    gd.add_argument("--reference-root", default="/root/reference")
+    gd.add_argument("--steps", type=int, default=500)
+    gd.add_argument("--num-t", type=int, default=2000)
+    gd.add_argument("--batch-size", type=int, default=500)
+    gd.add_argument("--energy-mode", default="single_fused")
+    gd.add_argument("--pairs-limit", type=int, default=None)
+    gd.set_defaults(fn=cmd_golden)
     return p
 
 

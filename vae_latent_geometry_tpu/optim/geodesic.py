@@ -240,6 +240,15 @@ def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig
     state = (0, omega0, opt.init(omega0), omega0, e0,
              jnp.zeros(omega0.shape[0], jnp.int32))
     _, _, _, best_omega, best_e, _ = jax.lax.while_loop(cond, body, state)
+    # report exact energies at the restored best params (reduced kernel
+    # precision only ever steers the trajectory, mirror of _optimize_scan)
+    cfg_exact = dataclasses.replace(
+        cfg, energy=dataclasses.replace(
+            cfg.energy,
+            mode=cfg.energy.mode.removesuffix("_bf16"),
+            kernel_precision="float32"))
+    exact_loss = make_loss_fn(decoders, basis, cfg_exact)
+    _, best_e = exact_loss(best_omega, a, b, key)
     return best_omega, best_e
 
 
