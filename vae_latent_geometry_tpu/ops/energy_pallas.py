@@ -173,6 +173,19 @@ def _prep_w(w, prec):
     return (hi, None)                      # f32x2 / bfloat16
 
 
+def _bf16_dot(a, b):
+    """One bf16 MXU pass with f32 accumulation.
+
+    The precision MUST be pinned to DEFAULT explicitly: the package sets
+    ``jax_default_matmul_precision='highest'`` globally (see __init__), and a
+    bf16-input dot that inherits HIGHEST fails Mosaic lowering with the
+    cryptic ``Bad lhs type`` (bf16 operands cannot take the multi-pass-f32
+    lowering).  This cost a long bisect — do not remove the precision arg.
+    """
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+
+
 def _mp_dot(h, wpair, prec, transpose: bool = False):
     """Multi-pass h @ w (or h @ w.T) at the requested precision rung;
     always f32-accumulated."""
@@ -184,13 +197,11 @@ def _mp_dot(h, wpair, prec, transpose: bool = False):
         return jnp.dot(h, w, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
     if prec == "bfloat16":
-        return jnp.dot(h.astype(jnp.bfloat16), w,
-                       preferred_element_type=jnp.float32)
+        return _bf16_dot(h.astype(jnp.bfloat16), w)
     h_hi, h_lo = _split_hi_lo(h)
-    out = jnp.dot(h_hi, w, preferred_element_type=jnp.float32) \
-        + jnp.dot(h_lo, w, preferred_element_type=jnp.float32)
+    out = _bf16_dot(h_hi, w) + _bf16_dot(h_lo, w)
     if w_lo is not None:                   # f32x3: + h_hi * w_lo
-        out = out + jnp.dot(h_hi, w_lo, preferred_element_type=jnp.float32)
+        out = out + _bf16_dot(h_hi, w_lo)
     return out
 
 
