@@ -83,12 +83,13 @@ def _compiler_params():
 
 
 def _pick_bb(B: int, max_bb: int = _SINGLE_BLOCK_MAX) -> int:
-    """Batch-block width for the B-axis grid: balanced blocks (so e.g.
-    B=200 with a 128 cap runs as 2x104, not 128+pad-heavy 2x128)."""
-    if B <= max_bb:
-        return B
-    n_blocks = -(-B // max_bb)
-    return _round_up(-(-B // n_blocks), 8)
+    """Batch-block width for the B-axis grid.
+
+    The batch axis is the LANE dimension of the (T, B) curve planes, and
+    Pallas requires lane blocks to be 128-divisible (or equal to the array
+    dim), so gridded blocks are always 128 wide — balanced narrower blocks
+    (e.g. 2x104 for B=200) are rejected at lowering."""
+    return B if B <= max_bb else _GRID_BB
 
 
 def _pick_chunk(T: int, B: int, target_rows: int = 4096) -> int:
