@@ -53,7 +53,7 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
-def bench_jax(mode: str = "mc") -> float:
+def bench_jax(mode: str = "mc", kernel_precision: str = "f32x3") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -78,7 +78,8 @@ def bench_jax(mode: str = "mc") -> float:
     basis, _ = nullspace_basis(4)
     cfg = GeodesicConfig(
         steps=STEPS_MEASURE, lr=1e-3,
-        energy=EnergyConfig(num_t=T, mode=mode, mc_samples=MC),
+        energy=EnergyConfig(num_t=T, mode=mode, mc_samples=MC,
+                            kernel_precision=kernel_precision),
     )
     args = (decoders, jnp.asarray(omega), jnp.asarray(a), jnp.asarray(b),
             jnp.asarray(basis), jax.random.PRNGKey(0), cfg)
@@ -245,11 +246,15 @@ def main():
     # last-resort stand-in (the reference publishes no speed numbers and
     # this image has no CUDA — BASELINE.md).
     ladder = {}
-    for mode in ("mc_fused", "expected_fused", "mc"):
+    for mode, prec in (("mc_fused", "f32x3"), ("mc_fused", "f32x2"),
+                       ("expected_fused", "f32x3"),
+                       ("expected_fused", "f32x2"),
+                       ("mc_fused", "float32"), ("mc", "float32")):
+        name = mode if prec == "f32x3" else f"{mode}_{prec}"
         try:
-            ladder[mode] = round(bench_jax(mode), 3)
+            ladder[name] = round(bench_jax(mode, prec), 3)
         except Exception as ex:
-            print(f"[bench] mode {mode} failed ({type(ex).__name__}: {ex})",
+            print(f"[bench] mode {name} failed ({type(ex).__name__}: {ex})",
                   file=sys.stderr)
     ours = ladder.get("mc_fused") or ladder.get("mc")
 

@@ -1,0 +1,220 @@
+"""Regenerate every measured experiment artifact on the real TPU.
+
+Round-2 context: round 1's TPU numbers were produced before the matmul
+precision fix (docs/NUMERICS.md) — the arithmetic under them was bf16
+rounding noise, so every timing/matrix artifact here is re-measured on
+correct numerics.  Run stages selectively:
+
+    python experiment/regenerate.py golden_a golden_b full133 \
+        full133_entropy full133_mc cov train
+
+Each stage writes its JSON artifact(s) under experiment/ and prints a
+one-line summary.  Stage configs mirror the reference workloads exactly
+(SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+OUT = os.path.join(REPO, "experiment")
+
+# Bulk optimization precision: f32x2 (2-pass; bf16 weights are a t-constant
+# smooth decoder perturbation, final energies re-evaluated at float32 —
+# docs/NUMERICS.md).  The MC stage uses f32x3 to keep the sampled estimator's
+# per-step values near-exact as well.
+BULK_PREC = "f32x2"
+
+
+def _setup():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    jax.device_put(np.zeros(8))
+    float(jnp.sum(jnp.zeros(8)))      # tunnel warmup (block_until_ready no-op)
+    return jax
+
+
+def _write(name: str, payload: dict):
+    path = os.path.join(OUT, name)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"[regenerate] wrote {path}", flush=True)
+
+
+def stage_golden_a():
+    """Trajectory goldens: same inits as the reference's stored runs."""
+    import golden_real_data as G
+
+    G._setup_jax()
+    out = {"mode": G.MODE}
+    out.update(G.tier_a())
+    path = os.path.join(OUT, "golden_real_data.json")
+    existing = json.load(open(path)) if os.path.exists(path) else {}
+    existing.update(out)
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=2)
+    print("[regenerate] golden_a done", flush=True)
+
+
+def stage_golden_b():
+    """Full 133x133 from-scratch reproduction for both real seeds."""
+    from vae_latent_geometry_tpu.pipeline.golden import run_golden
+
+    for seed in (12, 123):
+        t0 = time.perf_counter()
+        rep = run_golden(seed, OUT, steps=500, num_t=2000, batch_size=500,
+                         mode="single_fused")
+        rep["wall_s"] = round(time.perf_counter() - t0, 1)
+        _write(f"golden133_seed{seed}_compare.json", rep)
+        s = rep["vs_golden"]
+        print(f"[golden_b seed {seed}] median_rel={s['median_rel']:.4f} "
+              f"r={s['pearson_r']:.4f} frob={s['rel_frobenius']:.4f} "
+              f"({rep['wall_s']}s)", flush=True)
+
+
+def _full133(tag: str, mode: str, prec: str, use_entropy: bool):
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.config import (
+        EnergyConfig,
+        GeodesicConfig,
+        InitConfig,
+    )
+    from vae_latent_geometry_tpu.data.tasic import load_tasic
+    from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
+    from vae_latent_geometry_tpu.pipeline.full_run import run_distance_pipeline
+
+    params = load_evae_checkpoint(f"{REF}/experiment/model_seed12.pt")
+    data = load_tasic()
+    t0 = time.perf_counter()
+    res = run_distance_pipeline(
+        params, data.x, data.labels, max_labels=133,
+        init_cfg=InitConfig(use_entropy=use_entropy),
+        geo_cfg=GeodesicConfig(
+            steps=1000, batch_size=200,
+            energy=EnergyConfig(num_t=2000, mode=mode,
+                                kernel_precision=prec)),
+        verbose=False,
+    )
+    wall = time.perf_counter() - t0
+    n_valid = int(np.isfinite(res.matrix).sum() - len(res.labels))
+    _write(f"full133_{tag}_timing.json", {
+        "note": "timing excludes one-time per-process tunnel warmup; "
+                "numerics-correct rerun (docs/NUMERICS.md)",
+        "workload": f"133 classes, 8778 pairs, 10 decoders, 1000 steps/pair, "
+                    f"T=2000, {mode}@{prec}, single v5e chip",
+        "wall_clock_seconds": round(wall, 1),
+        "stage_timings": {k: round(v, 2) for k, v in res.timings.items()},
+        "pairs_valid": int(res.artifact.valid.sum()),
+        "matrix_labels": len(res.labels),
+        "data": "synthetic surrogate (tasic-pca50.npy missing upstream) + "
+                "reference model_seed12.pt",
+    })
+    with open(os.path.join(OUT, "plots",
+                           f"geodesic_matrix_seed12_{tag}_133.json"), "w") as f:
+        json.dump({"seed": 12, "cluster_ids": list(res.labels),
+                   "distance_matrix": res.matrix.tolist()}, f)
+    print(f"[full133 {tag}] {wall:.0f}s "
+          f"(opt {res.timings['optimize']:.0f}s)", flush=True)
+    return res
+
+
+def stage_full133():
+    _full133("euclidean", "expected_fused", BULK_PREC, False)
+
+
+def stage_full133_entropy():
+    _full133("entropy", "expected_fused", BULK_PREC, True)
+
+
+def stage_full133_mc():
+    _full133("mc", "mc_fused", "f32x3", False)
+
+
+def stage_cov():
+    from vae_latent_geometry_tpu.data.tasic import load_tasic
+    from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
+    from vae_latent_geometry_tpu.pipeline.evaluate import cov_analysis
+    from vae_latent_geometry_tpu.pipeline.select_pairs import load_pairs
+
+    seeds = [12, 123, 1234, 12345, 45, 456]
+    models = [load_evae_checkpoint(f"{REF}/experiment/model_seed{s}.pt")
+              for s in seeds]
+    _, pairs = load_pairs(f"{REF}/experiment/pairs/selected_pairs_15.json")
+    data = load_tasic()
+    t0 = time.perf_counter()
+    res = cov_analysis(models, seeds, data.x, pairs, steps=300, num_t=2000,
+                       mode="mc_fused", batch_size=200)
+    wall = time.perf_counter() - t0
+    payload = res.to_json()
+    payload.update({
+        "workload": "105 pairs x 6 seeds x 10 decoder-counts x 300 steps, "
+                    "T=2000, mc_fused@f32x3 (per-spline num_active), "
+                    "single v5e",
+        "reference_equivalent":
+            "6300 serial 300-step optimizations (src/eval.py:74-176)",
+        "wall_clock_seconds": round(wall, 1),
+        "note": "numerics-correct rerun (docs/NUMERICS.md); data is the "
+                "synthetic surrogate",
+    })
+    _write("cov_timing.json", payload)
+    print(f"[cov] {wall:.0f}s  k=1 {res.avg_cov_geodesic[1]:.4f} "
+          f"k=10 {res.avg_cov_geodesic[10]:.4f} "
+          f"eucl {res.avg_cov_euclidean:.4f}", flush=True)
+
+
+def stage_train():
+    from vae_latent_geometry_tpu.config import TrainConfig
+    from vae_latent_geometry_tpu.data.tasic import load_tasic
+    from vae_latent_geometry_tpu.pipeline.train import train_evae
+
+    data = load_tasic()
+    t0 = time.perf_counter()
+    out = train_evae(data.x, TrainConfig(epochs=600, seed=42), log_every=0)
+    wall = time.perf_counter() - t0
+    _write("train_timing.json", {
+        "workload": "EVAE 600 epochs, bs 64, 10 decoders, 23822x50 "
+                    "surrogate, single v5e",
+        "wall_clock_seconds": round(wall, 1),
+        "final_val_loss": float(np.asarray(out.val_losses)[-1]),
+        "note": "numerics-correct rerun; package-global highest matmul "
+                "precision applies to training too (docs/NUMERICS.md)",
+    })
+    print(f"[train] 600 epochs in {wall:.1f}s", flush=True)
+
+
+STAGES = {
+    "golden_a": stage_golden_a,
+    "golden_b": stage_golden_b,
+    "full133": stage_full133,
+    "full133_entropy": stage_full133_entropy,
+    "full133_mc": stage_full133_mc,
+    "cov": stage_cov,
+    "train": stage_train,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(STAGES)
+    _setup()
+    for n in names:
+        print(f"[regenerate] === stage {n} ===", flush=True)
+        STAGES[n]()
+
+
+if __name__ == "__main__":
+    main()
