@@ -71,3 +71,54 @@ def test_golden_init_artifact_shapes():
     pa = lat[art.pair_indices[:, 0]]
     d = np.linalg.norm(art.a - pa, axis=1)
     assert (d > 0).any() and d.max() < 0.1
+
+
+@requires_reference
+def test_committed_reproduction_artifacts():
+    """The committed full-run comparison artifacts must meet the claimed
+    bars (median rel ~1%, r > 0.97) — guards against regressions silently
+    degrading the real-data reproduction."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "experiment")
+    for seed in (12, 123):
+        path = os.path.join(root, f"golden133_seed{seed}_compare.json")
+        if not os.path.exists(path):
+            pytest.skip("full-run artifacts not yet generated")
+        rep = json.load(open(path))
+        s = rep["vs_golden"]
+        assert s["n_common"] > 8000
+        assert s["median_rel"] < 0.03, s
+        assert s["pearson_r"] > 0.95, s
+
+
+@requires_reference
+def test_cross_seed_spread_statistical_parity():
+    """Our reproduced matrices must mirror the reference's cross-seed
+    variability structure (per-entry spread correlation; see
+    pipeline/stability.cross_seed_spread_comparison)."""
+    import json
+    import os
+
+    from vae_latent_geometry_tpu.pipeline import golden as G
+    from vae_latent_geometry_tpu.pipeline.stability import (
+        cross_seed_spread_comparison,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..", "experiment")
+    mats, labels = [], []
+    for seed in (12, 123):
+        path = os.path.join(root, f"golden133_seed{seed}_matrix.json")
+        if not os.path.exists(path):
+            pytest.skip("full-run artifacts not yet generated")
+        d = json.load(open(path))
+        mats.append(np.asarray(d["distance_matrix"], float))
+        labels.append(d["cluster_ids"])
+    g12, l12 = G.golden_matrix(12)
+    g123, l123 = G.golden_matrix(123)
+    rep = cross_seed_spread_comparison(tuple(mats), tuple(labels),
+                                       (g12, g123), (l12, l123))
+    assert rep["n_entries"] > 8000
+    assert rep["spread_correlation"] > 0.9, rep
+    assert abs(rep["mean_spread_ours"] - rep["mean_spread_golden"]) < 0.05

@@ -95,3 +95,53 @@ def encoder_agreement(params_a, params_b, data: np.ndarray) -> float:
     za, _ = encode(params_a, jnp.asarray(data))
     zb, _ = encode(params_b, jnp.asarray(data))
     return float(jnp.max(jnp.abs(za - zb)))
+
+
+def cross_seed_spread_comparison(mats_ours, labels_ours, mats_golden,
+                                 labels_golden) -> dict:
+    """Statistical stability parity: does OUR pipeline reproduce the
+    reference's cross-seed variability *structure*?
+
+    Inputs are two-seed matrix pairs ``((mat_a, mat_b))`` with their label
+    lists.  For every class pair present in all four matrices, the relative
+    cross-seed spread ``|d_a - d_b| / mean(d_a, d_b)`` is computed for ours
+    and for the golden matrices, and compared (the reference's analogous
+    check is the cross-seed Frobenius comparison, ``src/old_/frobenius.py``,
+    and the CoV analysis, ``src/eval.py:70-176``).
+
+    A high correlation of per-entry spreads means our geodesics are unstable
+    exactly where the reference's are — pipeline-level statistical parity on
+    real data even though individual seeds' trainings are not bit-identical.
+    """
+    (oa, ob), (la, lb) = mats_ours, labels_ours
+    (ga, gb), (ma, mb) = mats_golden, labels_golden
+
+    def _common_sub(mats, label_lists, keep):
+        out = []
+        for m, ls in zip(mats, label_lists):
+            ix = [list(ls).index(l) for l in keep]
+            out.append(np.asarray(m, float)[np.ix_(ix, ix)])
+        return out
+
+    keep = [l for l in la if l in set(lb) and l in set(ma) and l in set(mb)]
+    oa_, ob_, ga_, gb_ = _common_sub([oa, ob, ga, gb], [la, lb, ma, mb],
+                                     keep)
+    iu = np.triu_indices(len(keep), k=1)
+
+    def spread(x, y):
+        x, y = x[iu], y[iu]
+        return np.abs(x - y) / np.maximum(0.5 * (np.abs(x) + np.abs(y)),
+                                          1e-12)
+
+    ours = spread(oa_, ob_)
+    gold = spread(ga_, gb_)
+    ok = np.isfinite(ours) & np.isfinite(gold)
+    return {
+        "n_entries": int(ok.sum()),
+        "n_labels": len(keep),
+        "mean_spread_ours": float(ours[ok].mean()),
+        "mean_spread_golden": float(gold[ok].mean()),
+        "median_spread_ours": float(np.median(ours[ok])),
+        "median_spread_golden": float(np.median(gold[ok])),
+        "spread_correlation": float(np.corrcoef(ours[ok], gold[ok])[0, 1]),
+    }
