@@ -170,7 +170,8 @@ def test_fused_mode_in_optimizer(rng):
     basis, _ = nullspace_basis(4)
     omega0 = jnp.zeros((B, 5, 2))
     cfg_f = GeodesicConfig(steps=40, lr=1e-2,
-                           energy=EnergyConfig(num_t=32, mode="expected_fused"))
+                           energy=EnergyConfig(num_t=32, mode="expected_fused",
+                                               kernel_precision="float32"))
     cfg_x = GeodesicConfig(steps=40, lr=1e-2,
                            energy=EnergyConfig(num_t=32, mode="expected"))
     rf = optimize_splines(decs, omega0, a, b, basis, cfg_f)
@@ -179,6 +180,14 @@ def test_fused_mode_in_optimizer(rng):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(rf.omega), np.asarray(rx.omega),
                                rtol=1e-3, atol=1e-5)
+    # default rung (f32x3, single-pass cotangent chain): trajectory wobbles
+    # slightly but the exact final energies must agree
+    cfg_d = GeodesicConfig(steps=40, lr=1e-2,
+                           energy=EnergyConfig(num_t=32,
+                                               mode="expected_fused"))
+    rd = optimize_splines(decs, omega0, a, b, basis, cfg_d)
+    np.testing.assert_allclose(np.asarray(rd.energy), np.asarray(rx.energy),
+                               rtol=1e-3)
 
 
 def test_shape_guard_falls_back(rng):

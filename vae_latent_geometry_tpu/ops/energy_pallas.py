@@ -349,8 +349,13 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
             x3 = x.reshape(Tc, B, X)
             dx = scale * (c_coeff * x3 - left - right)    # (Tc, B, X)
             dh = dx.reshape(Tc * B, X)
+            # cotangent chain: dh is difference-valued, so bf16 rounding is
+            # RELATIVE to the gradient itself (not to |x|) — run the chain
+            # single-pass under the reduced rungs; only the activation
+            # recompute above needs the split passes (docs/NUMERICS.md)
+            chain_prec = "bfloat16" if dtype in ("f32x3", "f32x2") else dtype
             for i in range(n_layers - 1, 0, -1):
-                dh = _mp_dot(dh, wp[m][i], dtype, transpose=True)
+                dh = _mp_dot(dh, wp[m][i], chain_prec, transpose=True)
                 act = acts[i - 2] if i >= 2 else h1
                 dh = dh * (act > 0.0)
             # first layer backprop: dg_d = sum_h dh1[:, h] * W1[d, h]
