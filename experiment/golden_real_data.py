@@ -144,63 +144,26 @@ def tier_a():
 
 
 def tier_b():
-    from vae_latent_geometry_tpu.config import InitConfig
-    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
-    from vae_latent_geometry_tpu.models.torch_import import (
-        load_single_vae_mean_decoder,
-    )
-    from vae_latent_geometry_tpu.pipeline.init_splines import initialize_splines
-    from vae_latent_geometry_tpu.pipeline.select_pairs import load_pairs
-
-    reps, pairs = load_pairs(f"{REF}/selected_pairs_133.json")
-    label_of = {int(r["index"]): str(r["label"]) for r in reps}
-    basis, _ = nullspace_basis(4)
+    """Full-matrix reproduction — thin wrapper over the library pipeline
+    (``vae_latent_geometry_tpu.pipeline.golden``), which owns the matrix
+    assembly, label alignment and comparison statistics."""
+    from vae_latent_geometry_tpu.pipeline import golden as G
 
     results = {}
     for seed in (12, 123):
-        latents = np.load(
-            f"{REF}/latents_VAE_ld2_ep100_bs64_lr1e-03_seed{seed}.npy")
         t0 = time.perf_counter()
-        init = initialize_splines(
-            latents, pairs,
-            cfg=InitConfig(grid_points_per_axis=200, knn=8, use_entropy=False),
-        )
-        t_init = time.perf_counter() - t0
-        decoder = load_single_vae_mean_decoder(f"{REF}/vae_best_seed{seed}.pth")
-        t0 = time.perf_counter()
-        _, lengths = _optimize(decoder, init.omega, init.a, init.b, basis,
-                               batch_size=512)
-        t_opt = time.perf_counter() - t0
-
-        # assemble our matrix keyed by representative label
-        golden = json.load(open(f"{REF}/geodesic_distances_seed{seed}_p133.json"))
-        g_ids = list(golden["cluster_ids"])
-        g_mat = np.asarray(golden["distance_matrix"], float)
-        slot = {l: i for i, l in enumerate(g_ids)}
-        n = len(g_ids)
-        ours = np.full((n, n), np.nan)
-        np.fill_diagonal(ours, 0.0)
-        for p, (ia, ib) in enumerate(init.pair_indices):
-            la, lb = label_of[int(ia)], label_of[int(ib)]
-            if la not in slot or lb not in slot or not init.valid[p]:
-                continue
-            i, j = slot[la], slot[lb]
-            ours[i, j] = ours[j, i] = lengths[p]
-
-        both = np.isfinite(ours) & np.isfinite(g_mat) & (g_mat > 0)
-        st = _stats(ours[both], g_mat[both])
-        st["n_golden_entries"] = int((np.isfinite(g_mat) & (g_mat > 0)).sum())
-        st["frobenius_rel"] = float(
-            np.linalg.norm(ours[both] - g_mat[both])
-            / np.linalg.norm(g_mat[both]))
-        st["init_s"] = round(t_init, 1)
-        st["opt_s"] = round(t_opt, 1)
-        st["n_valid_pairs"] = int(init.valid.sum())
+        mat, labels, art = G.reproduce_matrix(
+            seed, steps=500, num_t=2000, batch_size=512, mode=MODE,
+            log=False)
+        dt = time.perf_counter() - t0
+        rep = G.compare_to_golden(mat, labels, seed)
+        st = dict(rep["vs_golden"])
+        st["wall_s"] = round(dt, 1)
+        st["n_valid_pairs"] = int(art.valid.sum())
         results[f"seed{seed}_p133_matrix"] = st
-        print(f"[tier B seed {seed}] matrix n={st['n']} median_rel="
-              f"{st['median_rel']:.3f} corr={st['corr']:.4f} frob_rel="
-              f"{st['frobenius_rel']:.3f} init {t_init:.0f}s opt {t_opt:.0f}s",
-              flush=True)
+        print(f"[tier B seed {seed}] matrix n={st['n_common']} median_rel="
+              f"{st['median_rel']:.3f} corr={st['pearson_r']:.4f} frob_rel="
+              f"{st['rel_frobenius']:.3f} ({dt:.0f}s)", flush=True)
     return results
 
 

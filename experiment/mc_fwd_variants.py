@@ -1,4 +1,11 @@
-"""One-off fwd-kernel variant timing for the sampled MC energy.
+"""
+
+HISTORICAL NOTE (round 2): the ms/call numbers recorded from this script
+predate the MXU precision ladder; they were measured on 1-pass bf16-rounded
+arithmetic (docs/NUMERICS.md) and are kept only as relative layout
+comparisons, not absolute throughputs.
+One-off fwd-kernel variant timing for the sampled MC energy.
+
 
 Variants (fwd only, B=200 single block, identical arithmetic semantics
 except V1 which drops selection to bound its cost):
@@ -75,7 +82,7 @@ def make_kernel(variant, Tc, n_layers):
             his = [jnp.zeros((Tc, B, X), jnp.float32) for _ in range(S)]
             for m in range(M):
                 h1 = _first_layer(g_planes, ws[0][m], bs[0][m], jnp.float32)
-                x = _tail_layers(h1, ws, bs, m, jnp.float32).reshape(Tc, B, X)
+                x = _tail_layers(h1, ws, bs, m, "float32").reshape(Tc, B, X)
                 for s in range(S):
                     if variant == "v1":
                         los[s] = los[s] + x
@@ -150,7 +157,7 @@ def main():
         def many(g0, g1):
             # per-iteration perturbation defeats loop-invariant code motion
             # (a constant body lets XLA hoist the kernel out of the scan)
-            eps = jnp.arange(CALLS, dtype=jnp.float32) * 1e-12
+            eps = jnp.arange(CALLS, dtype="float32") * 1e-12
 
             def body(acc, e):
                 return acc + jnp.sum(call(g0 + e, g1, dd1, dd2, *ws, *bs)), None

@@ -514,7 +514,11 @@ def energy_expected_fused(decoders, gamma, wmb=None, precision: str = "float32")
 
     wmb: optional (M, B) per-spline ensemble weights (default: uniform 1/M —
     the plain expected energy).  Use :func:`active_weights` for the CoV
-    sweep's first-k-decoder subsets.  Not differentiated.
+    sweep's first-k-decoder subsets.  Not differentiated.  MUST sum to 1
+    over the decoder axis for every spline: both the centered forward form
+    and the analytic backward are derived under that constraint
+    (uniform_weights/active_weights guarantee it; arbitrary weight planes
+    give an energy/gradient pair that is not a function/derivative pair).
 
     precision: 'float32' (default, parity with the XLA path) or 'bfloat16'
     (bf16 matmuls with f32 accumulation — faster, ~1e-3 rel error; use for
@@ -549,6 +553,9 @@ def _resolve_wmb(wmb, M, B_pad, B):
     if wmb is None:
         return uniform_weights(M, B_pad)
     wmb = jnp.asarray(wmb, jnp.float32)
+    if wmb.shape != (M, B):
+        raise ValueError(f"wmb must be shaped (M, B) = ({M}, {B}); "
+                         f"got {wmb.shape}")
     return _pad_b(wmb, B_pad, axis=1)
 
 

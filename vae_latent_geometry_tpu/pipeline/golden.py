@@ -66,9 +66,11 @@ def reference_latents(seed: int, root: str = REFERENCE_ROOT) -> np.ndarray:
 def reference_pairs(n: int = 133, root: str = REFERENCE_ROOT
                     ) -> Tuple[list, np.ndarray]:
     """(representatives, pairs) from ``selected_pairs_{n}.json``."""
+    from vae_latent_geometry_tpu.pipeline.select_pairs import load_pairs
+
     path = os.path.join(root, "src", "artifacts", f"selected_pairs_{n}.json")
-    doc = json.load(open(path))
-    return doc["representatives"], np.asarray(doc["pairs"], np.int64)
+    reps, pairs = load_pairs(path)
+    return reps, np.asarray(pairs, np.int64)
 
 
 def golden_matrix(seed: int, root: str = REFERENCE_ROOT
@@ -195,7 +197,13 @@ def run_golden(seed: int, out_dir: str, root: str = REFERENCE_ROOT,
                pairs_limit: Optional[int] = None) -> Dict[str, object]:
     """Run the reproduction and write matrix + comparison JSON artifacts."""
     os.makedirs(out_dir, exist_ok=True)
-    ckpt = os.path.join(out_dir, f"golden133_seed{seed}_blob.npz")
+    # config-stamped checkpoint name: resume must never silently serve a
+    # DIFFERENT config's results (the canonical 500-step blob is committed)
+    canonical = (steps == 500 and num_t == 2000 and mode == "single_fused"
+                 and pairs_limit is None)
+    stamp = "" if canonical else f"_{mode}_s{steps}_t{num_t}" + (
+        f"_p{pairs_limit}" if pairs_limit is not None else "")
+    ckpt = os.path.join(out_dir, f"golden133_seed{seed}_blob{stamp}.npz")
     mat, labels, art = reproduce_matrix(
         seed, root, steps=steps, num_t=num_t, batch_size=batch_size,
         mode=mode, pairs_limit=pairs_limit, checkpoint_path=ckpt)
