@@ -75,6 +75,11 @@ def stage_golden_b():
     from vae_latent_geometry_tpu.pipeline.golden import run_golden
 
     for seed in (12, 123):
+        # fresh run: drop any prior checkpoint blob or the optimize stage
+        # resumes it and measures nothing
+        stale = os.path.join(OUT, f"golden133_seed{seed}_blob.npz")
+        if os.path.exists(stale):
+            os.remove(stale)
         t0 = time.perf_counter()
         rep = run_golden(seed, OUT, steps=500, num_t=2000, batch_size=500,
                          mode="single_fused")
