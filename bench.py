@@ -150,6 +150,73 @@ def numerics_check(decoders) -> dict:
     return out
 
 
+# Peak dense bf16 MXU throughput per chip family (public spec sheets).
+# Every rung of the precision ladder decomposes into bf16 MXU passes with
+# f32 accumulation, so bf16 peak is the common denominator.
+_PEAK_BF16_TFLOPS = (
+    ("v6", 918.0),       # v6e (Trillium)
+    ("v5p", 459.0),
+    ("v5", 197.0),       # v5e / "TPU v5 lite"
+    ("v4", 275.0),
+)
+
+
+def _chip_peak_tflops():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for tag, peak in _PEAK_BF16_TFLOPS:
+        if tag in kind:
+            return peak, kind
+    return None, kind
+
+
+def mfu_report(ladder: dict) -> dict:
+    """Analytic FLOPs/step and MFU for every measured rung.
+
+    Two accountings (both reported; the gap between them localizes waste):
+    - model: logical 2*m*n*k FLOPs of the true shapes (X=50) — the number a
+      perfect compiler on a padding-free chip would need.
+    - mxu:   bf16 MXU passes actually issued: lane-padded shapes (X=50 pads
+      to 128 output lanes) times the pass count of the precision rung
+      (f32x3 = 3 passes/dot, f32x2 = 2, float32 = 6, backward cotangent
+      chain runs single-pass bf16 under the reduced rungs).
+    mfu_model = model_flops * steps_per_sec / peak;  mfu_mxu likewise with
+    pass-FLOPs — mfu_mxu is the fraction of the MXU's cycles this program
+    keeps busy; mfu_model is how much of that busyness is useful math.
+    """
+    pts = T * B
+    # one decoder forward, logical: 2->128 (VPU), 128->128, 128->50
+    l1, l2, l3 = 2 * 2 * 128, 2 * 128 * 128, 2 * 128 * 50
+    fwd_model = M_DEC * pts * (l1 + l2 + l3)
+    # backward = activation recompute (fwd again) + transpose chain
+    model_per_step = 3 * fwd_model
+
+    l3_pad = 2 * 128 * 128                   # X=50 -> 128 output lanes
+    mxu_dots = M_DEC * pts * (l2 + l3_pad)   # per single-pass decode
+    passes = {"f32x3": 3, "f32x2": 2, "float32": 6, "bfloat16": 1}
+
+    peak, kind = _chip_peak_tflops()
+    out = {"model_gflops_per_step": round(model_per_step / 1e9, 1),
+           "chip": kind, "peak_bf16_tflops": peak, "rungs": {}}
+    if peak is None:
+        return out
+    for name, sps in ladder.items():
+        prec = "f32x3"
+        for p in ("f32x2", "float32", "bfloat16"):
+            if name.endswith(p):
+                prec = p
+        n_pass = passes[prec]
+        chain_pass = 1 if prec in ("f32x3", "f32x2") else n_pass
+        # fwd decode + bwd recompute at n_pass; cotangent chain single-pass
+        mxu_per_step = mxu_dots * (2 * n_pass + chain_pass)
+        out["rungs"][name] = {
+            "mfu_model": round(model_per_step * sps / (peak * 1e12), 4),
+            "mfu_mxu": round(mxu_per_step * sps / (peak * 1e12), 4),
+        }
+    return out
+
+
 def bench_torch_baseline(steps: int = 10):
     """Reference-equivalent PyTorch workload on CPU (own implementation).
 
@@ -257,6 +324,11 @@ def main():
             print(f"[bench] mode {name} failed ({type(ex).__name__}: {ex})",
                   file=sys.stderr)
     ours = ladder.get("mc_fused") or ladder.get("mc")
+    if ours is None:
+        print("[bench] FATAL: every MC rung failed to run "
+              f"(ladder: {ladder}) — no headline number to report",
+              file=sys.stderr)
+        sys.exit(1)
 
     # on-hardware numerics gate (see numerics_check docstring): a steps/s
     # number on silently-corrupted arithmetic is not a result
@@ -284,15 +356,21 @@ def main():
 
     print(json.dumps({
         "metric": "ensemble_energy_opt_steps_per_sec_B200_T2000_10dec",
-        "value": ours,
+        # a steps/s number on corrupted arithmetic is not a result: the
+        # headline is nulled (and the exit code below is non-zero) when the
+        # on-hardware numerics gate fails, so automation cannot consume it
+        "value": None if bad else ours,
         "unit": "steps/s",
-        "vs_baseline": round(ours / baseline, 2),
+        "vs_baseline": None if bad else round(ours / baseline, 2),
         "ladder_steps_per_sec": ladder,
+        "mfu": mfu_report(ladder),
         "numerics_gate_medrel_vs_float64": numerics,
         "numerics_gate_ok": not bad,
         "torch_cpu_baseline": {"steps_per_sec": round(baseline, 4),
                                "rel_spread": spread},
     }))
+    if bad:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -60,6 +60,28 @@ def test_single_vae_training_with_warmup_and_best(tiny_data):
     assert res.best_val_loss == pytest.approx(np.min(res.val_losses))
 
 
+def test_train_resume_restores_optimizer_state(tiny_data, tmp_path):
+    """Full-state resume (params + Adam moments + epoch): an interrupted run
+    continues the exact trajectory — the resumed loss curve is bitwise-equal
+    to the uninterrupted run's, which cannot happen if the Adam moments
+    restart (first resumed step would take an lr-sized jump)."""
+    mcfg = ModelConfig(input_dim=10, latent_dim=2, num_decoders=2,
+                       encoder_hidden=(16,), decoder_hidden=(16,),
+                       decoder_sigma=1.0)
+    full_cfg = TrainConfig(epochs=6, batch_size=64, seed=3)
+    ref = train_evae(tiny_data, full_cfg, mcfg, log_every=0, block_epochs=3)
+
+    ckpt = str(tmp_path / "train_state.npz")
+    half_cfg = TrainConfig(epochs=3, batch_size=64, seed=3)
+    train_evae(tiny_data, half_cfg, mcfg, log_every=0, block_epochs=3,
+               checkpoint_path=ckpt)
+    res = train_evae(tiny_data, full_cfg, mcfg, log_every=0, block_epochs=3,
+                     checkpoint_path=ckpt)
+    assert len(res.train_losses) == 6
+    np.testing.assert_array_equal(res.train_losses, ref.train_losses)
+    np.testing.assert_array_equal(res.val_losses, ref.val_losses)
+
+
 def test_training_is_deterministic(tiny_data):
     cfg = TrainConfig(epochs=3, batch_size=64, seed=7)
     mcfg = ModelConfig(input_dim=10, latent_dim=2, num_decoders=2,

@@ -55,6 +55,32 @@ def read_meta(path: str) -> dict:
         return json.loads(str(f["__meta__"])) if "__meta__" in f.files else {}
 
 
+def save_train_state(params: Any, opt_state: Any, path: str, *, epoch: int,
+                     extra_meta: Optional[dict] = None) -> None:
+    """Persist a full training state: params AND optimizer state (Adam
+    moments etc.) plus the epoch counter, so a resumed run continues the
+    same optimization trajectory instead of restarting the moments (the
+    reference has no resume at all, ``src/train.py:165``; SURVEY §5 plans
+    "optimizer/omega state for resume").  Atomic: written to a temp file and
+    renamed, so a crash mid-save never corrupts the previous checkpoint."""
+    meta = {"epoch": int(epoch), **(extra_meta or {})}
+    # np.savez appends .npz to names that don't end with it — keep the temp
+    # name .npz-suffixed so the rename source actually exists
+    tmp = path + ".tmp.npz"
+    save_pytree({"params": params, "opt_state": opt_state}, tmp, meta)
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, params_like: Any,
+                     opt_state_like: Any) -> Tuple[Any, Any, dict]:
+    """Restore (params, opt_state, meta) saved by :func:`save_train_state`.
+    ``params_like`` / ``opt_state_like`` supply the pytree structure (build
+    them with the same init + ``opt.init`` as the original run)."""
+    tree, meta = load_pytree(
+        path, {"params": params_like, "opt_state": opt_state_like})
+    return tree["params"], tree["opt_state"], meta
+
+
 def load_pytree(path: str, like: Any) -> Tuple[Any, dict]:
     """Load a pytree saved with :func:`save_pytree` into the structure of
     ``like`` (shapes/keys must match).  Returns (tree, meta)."""

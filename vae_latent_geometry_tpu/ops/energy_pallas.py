@@ -532,6 +532,19 @@ def energy_expected_fused(decoders, gamma, wmb=None, precision: str = "float32")
     return e
 
 
+def energy_expected_fused_checked(decoders, gamma, wmb=None,
+                                  precision: str = "float32"):
+    """:func:`energy_expected_fused` with the not-differentiated contract on
+    ``decoders``/``wmb`` mechanically enforced: their cotangents are cut with
+    ``stop_gradient`` *outside* the custom_vjp, so anything differentiating
+    through them (e.g. learned ensemble weights) sees a true zero gradient by
+    JAX semantics instead of silently relying on the custom rule."""
+    decoders = jax.lax.stop_gradient(decoders)
+    if wmb is not None:
+        wmb = jax.lax.stop_gradient(wmb)
+    return energy_expected_fused(decoders, gamma, wmb, precision)
+
+
 def _dims(decoders, gamma):
     T, B, D = gamma.shape
     ws, bs = _stack_weights(decoders)

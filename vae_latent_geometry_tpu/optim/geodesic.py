@@ -37,6 +37,21 @@ from vae_latent_geometry_tpu.geometry.spline import (
 )
 
 
+def _warn_fallback(mode: str, T: int, B: int, D: int, X: int, M: int) -> None:
+    """Trace-time warning when a fused mode silently degrades to the XLA
+    path (9-17 steps/s vs 81-122 at the reference workload): a rejected
+    shape must never be a silent 10x regression."""
+    import warnings
+
+    warnings.warn(
+        f"energy mode {mode!r}: fused kernel rejects shape "
+        f"(T={T}, B={B}, D={D}, X={X}, M={M}) — falling back to the XLA "
+        "path (roughly 10x slower at the reference workload); see "
+        "ops.energy_pallas.fused_fits for the shape rules",
+        stacklevel=3,
+    )
+
+
 class GeodesicResult(NamedTuple):
     omega: jax.Array          # (B, K, D) optimized parameters
     energy: jax.Array         # (B,) final-step energy (per-spline)
@@ -63,6 +78,7 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
         stacked = jax.tree_util.tree_map(lambda x: x[None], decoders)
         X = stacked["layers"][-1]["w"].shape[-1]
         if not fused_fits(T, B, D, X, 1):
+            _warn_fallback(mode, T, B, D, X, 1)
             return energy_lib.energy_single(decoders, gamma)
         precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
         return energy_expected_fused(stacked, gamma, None, precision)
@@ -84,6 +100,7 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
         X = decoders["layers"][-1]["w"].shape[-1]
         if not fused_fits(T, B, D, X, m_dec, mc=True, mc_samples=mc_samples):
             # batch too large for VMEM-resident kernel: XLA fallback
+            _warn_fallback(mode, T, B, D, X, m_dec)
             return energy_lib.energy_mc(decoders, gamma, key, mc_samples,
                                         num_active)
         d1, d2 = sample_decoder_indices(key, T, B, m_dec, mc_samples,
@@ -103,6 +120,7 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
         m_dec = jax.tree_util.tree_leaves(decoders)[0].shape[0]
         X = decoders["layers"][-1]["w"].shape[-1]
         if not fused_fits(T, B, D, X, m_dec, mc=False):
+            _warn_fallback(mode, T, B, D, X, m_dec)
             return energy_lib.energy_expected(decoders, gamma, num_active)
         # per-spline first-k-decoder subsets (the CoV sweep) become a
         # masked-mean weight plane streamed into the kernel

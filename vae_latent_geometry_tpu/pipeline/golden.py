@@ -199,6 +199,10 @@ def run_golden(seed: int, out_dir: str, root: str = REFERENCE_ROOT,
     os.makedirs(out_dir, exist_ok=True)
     # config-stamped checkpoint name: resume must never silently serve a
     # DIFFERENT config's results (the canonical 500-step blob is committed)
+    # batch_size is deliberately NOT part of the stamp: the deterministic
+    # modes optimize each spline independently (no cross-spline coupling in
+    # loss or sampling), so results are batch-size-invariant; chunking only
+    # changes how many splines share one jitted program.
     canonical = (steps == 500 and num_t == 2000 and mode == "single_fused"
                  and pairs_limit is None)
     stamp = "" if canonical else f"_{mode}_s{steps}_t{num_t}" + (

@@ -19,6 +19,7 @@ expectation is uniform).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Optional
@@ -160,12 +161,20 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
                params: Optional[evae_lib.EVAEParams] = None,
                log_every: int = 10,
                callback: Optional[Callable] = None,
-               block_epochs: int = 20) -> TrainResult:
+               block_epochs: int = 20,
+               checkpoint_path: Optional[str] = None) -> TrainResult:
     """Train the ensemble VAE (reference ``src/train.py``).
 
     Runs in jitted multi-epoch blocks (``block_epochs`` per device call);
     no best-val tracking is needed for this family (the reference saves the
-    final state only, src/train.py:165)."""
+    final state only, src/train.py:165).
+
+    checkpoint_path: when set, the FULL training state (params + Adam
+    moments + epoch + loss history) is persisted after every block and a
+    preempted run resumes exactly where it stopped — the resumed loss curve
+    is bitwise-identical to the uninterrupted one (keys are folded by
+    absolute epoch index, and blocks align as long as ``block_epochs``
+    matches)."""
     key = jax.random.PRNGKey(cfg.seed)
     init_key, train_key = jax.random.split(key)
     if params is None:
@@ -178,11 +187,22 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
     opt = optax.adam(_lr_schedule(cfg, len(train_idx) // cfg.batch_size))
     opt_state = opt.init(params)
 
+    train_losses, val_losses = [], []
+    epoch = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        from vae_latent_geometry_tpu.io.checkpoint import load_train_state
+
+        params, opt_state, meta = load_train_state(
+            checkpoint_path, params, opt_state)
+        epoch = int(meta["epoch"])
+        train_losses = list(meta.get("train_losses", []))
+        val_losses = list(meta.get("val_losses", []))
+        if log_every:
+            print(f"[resume] training state restored at epoch {epoch}")
+
     loss_fn = lambda p, k, x, beta: evae_lib.neg_elbo(p, k, x, model_cfg)
     train_block = make_block_fn(loss_fn, opt, cfg.batch_size, cfg)
 
-    train_losses, val_losses = [], []
-    epoch = 0
     while epoch < cfg.epochs:
         n_ep = min(block_epochs, cfg.epochs - epoch)
         params, opt_state, tl, vl = train_block(
@@ -197,6 +217,16 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
         if callback is not None:
             callback(epoch + n_ep - 1, params, float(tl[-1]), float(vl[-1]))
         epoch += n_ep
+        if checkpoint_path is not None:
+            from vae_latent_geometry_tpu.io.checkpoint import (
+                save_train_state,
+            )
+
+            save_train_state(
+                params, opt_state, checkpoint_path, epoch=epoch,
+                extra_meta={"train_losses": train_losses,
+                            "val_losses": val_losses,
+                            "seed": cfg.seed})
     return TrainResult(
         params=params, best_params=params,
         train_losses=np.asarray(train_losses),
