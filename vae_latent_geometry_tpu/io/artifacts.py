@@ -59,7 +59,12 @@ def save_spline_batch(art: SplineBatchArtifact, path: str) -> None:
         "representatives": art.representatives,
         "metadata": art.metadata,
     }
-    np.savez(path, __sidecar__=json.dumps(sidecar), **arrays)
+    # atomic write (temp + rename): these files are per-chunk resume
+    # checkpoints of multi-minute runs — a crash mid-serialization must
+    # never destroy the previous good checkpoint
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, __sidecar__=json.dumps(sidecar), **arrays)
+    os.replace(tmp, path)
 
 
 def load_spline_batch(path: str) -> SplineBatchArtifact:

@@ -119,6 +119,320 @@ def _pad_indices_raw(d, trailing: int = 1):
     return jnp.concatenate([d, jnp.zeros((S, trailing, B), d.dtype)], axis=1)
 
 
+# ---------------------------------------------------------------------------
+# In-kernel PRNG (the TPU fast path).
+#
+# The external-index path below ships (S, T, B) int32 index planes from HBM
+# into both kernels; on TPU the draws can instead come from the core's
+# hardware PRNG (pltpu.prng_random_bits) at the point of use, deleting the
+# plane generation, the XLA-side pad/concat copies, and their VMEM streaming.
+# Determinism contract: both the forward and backward kernels RESEED per
+# (batch-block, chunk) with the same (seed, program_id, chunk) tuple and
+# issue one identically-shaped generate call, so they consume bit-identical
+# draws without any state to keep in sync (the same trick that replaces the
+# index-plane residuals).
+#
+# Uniform ints come from the float path — u = bits[31:8] / 2^24,
+# d = floor(u * k) — because Mosaic's integer modulo is less portable than
+# float multiply+floor, per-lane k (the CoV sweep's per-spline
+# active-decoder counts) broadcasts naturally, and the kernels compare
+# indices as f32 planes anyway.  Modulo-free bias is < k * 2^-24 (~1e-6).
+#
+# TPU-only: interpret mode's prng_random_bits yields zeros (measured), so
+# off-TPU callers use the external-index path (also the deterministic path
+# the CPU-mesh tests exercise).
+# ---------------------------------------------------------------------------
+
+
+def _gen_draws_f32(seed_ref, c, S2, Tc, B, kmax_row):
+    """This chunk's decoder draws: (S2, Tc, B) f32 integer values in
+    [0, kmax).  kmax_row: (1, 1, B) f32 per-lane upper bounds."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0), c)
+    bits = pltpu.prng_random_bits((S2, Tc, B))
+    u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) \
+        * (1.0 / (1 << 24))
+    return jnp.floor(u * kmax_row)
+
+
+def _fwd_kernel_rng(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
+    """Sampled-energy forward with in-kernel draws.  Same streaming
+    structure as :func:`_fwd_kernel`; d1 draws are consumed in-register,
+    d2 draws go through a one-row-carry ext buffer (segment t-1 lives at
+    row t+7, mirroring the lo carry)."""
+    g_refs = refs[:D]
+    seed_ref = refs[D]
+    kmax_ref = refs[D + 1]                  # (1, B) f32
+    w_refs = refs[D + 2:D + 2 + n_layers]
+    b_refs = refs[D + 2 + n_layers:D + 2 + 2 * n_layers]
+    out_ref = refs[D + 2 + 2 * n_layers]
+    lo_ext = refs[D + 2 + 2 * n_layers + 1]   # (S, Tc+8, B, X) scratch
+    seg_ref = refs[D + 2 + 2 * n_layers + 2]  # (Tc, B) scratch
+    d2_ext = refs[D + 2 + 2 * n_layers + 3]   # (S, Tc+8, B) scratch
+
+    ws = [w_refs[i][:] for i in range(n_layers)]
+    bs = [b_refs[i][:] for i in range(n_layers)]
+    wp = [_prep_ws_m(ws, m, dtype) for m in range(M)]
+    kmax_row = kmax_ref[:][None, :, :]       # (1, 1, B)
+    n_chunks = T // Tc
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    for s in range(S):
+        lo_ext[s, pl.ds(0, 8), :, :] = jnp.zeros((8, B, X), jnp.float32)
+        d2_ext[s, pl.ds(0, 8), :] = jnp.zeros((8, B), jnp.float32)
+
+    ones_x = jnp.ones((1, 1, X), jnp.float32)
+
+    def body(c, _):
+        start = pl.multiple_of(c * Tc, 8)
+        g_planes = [g_refs[d][pl.ds(start, Tc), :] for d in range(D)]
+        draws = _gen_draws_f32(seed_ref, c, 2 * S, Tc, B, kmax_row)
+        for s in range(S):
+            d2_ext[s, pl.ds(8, Tc), :] = draws[S + s]
+        d1_3 = [draws[s][:, :, None] * ones_x for s in range(S)]
+        d2_3 = []
+        for s in range(S):
+            w2 = d2_ext[s, :, :]                     # (Tc+8, B)
+            d2_3.append(w2[7:7 + Tc][:, :, None] * ones_x)
+        los = [jnp.zeros((Tc, B, X), jnp.float32) for _ in range(S)]
+        his = [jnp.zeros((Tc, B, X), jnp.float32) for _ in range(S)]
+        for m in range(M):
+            h1 = _first_layer(g_planes, ws[0][m], bs[0][m], dtype)
+            x = _tail_layers(h1, ws, bs, m, dtype,
+                             wpairs=wp[m]).reshape(Tc, B, X)
+            fm = jnp.float32(m)
+            for s in range(S):
+                los[s] = los[s] + jnp.where(d1_3[s] == fm, x, 0.0)
+                his[s] = his[s] + jnp.where(d2_3[s] == fm, x, 0.0)
+
+        first_w = jnp.where(c == 0, 0.0, 1.0)
+        seg_total = jnp.zeros((Tc, B), jnp.float32)
+        for s in range(S):
+            lo_ext[s, pl.ds(8, Tc), :, :] = los[s]
+            le = lo_ext[s, :, :, :]                          # (Tc+8, B, X)
+            diff = his[s] - le[7:7 + Tc]
+            seg_total = seg_total + jnp.sum(diff * diff, axis=-1)
+        seg_ref[:, :] = seg_total
+        seg = seg_ref[:]
+        total = jnp.sum(seg[1:], axis=0) + seg[0] * first_w
+        out_ref[0, :] = out_ref[0, :] + total / S
+        for s in range(S):
+            lo_ext[s, 7, :, :] = lo_ext[s, 7 + Tc, :, :]
+            d2_ext[s, 7, :] = d2_ext[s, 7 + Tc, :]
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _bwd_kernel_rng(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
+    """Sampled-energy backward with in-kernel draws: regenerates exactly the
+    forward's draws per (block, chunk); both d1 and d2 carry one row between
+    chunks (the halo segment c*Tc-1)."""
+    g_refs = refs[:D]                     # D x (T+8, B) edge-padded planes
+    seed_ref = refs[D]
+    kmax_ref = refs[D + 1]
+    ct_ref = refs[D + 2]
+    w_refs = refs[D + 3:D + 3 + n_layers]
+    b_refs = refs[D + 3 + n_layers:D + 3 + 2 * n_layers]
+    dg_refs = refs[D + 3 + 2 * n_layers:D + 3 + 2 * n_layers + D]
+    diffs = refs[D + 3 + 2 * n_layers + D]    # (S, Tc+8, B, X)
+    d1_ext = refs[D + 3 + 2 * n_layers + D + 1]  # (S, Tc+8, B)
+    d2_ext = refs[D + 3 + 2 * n_layers + D + 2]  # (S, Tc+8, B)
+
+    ws = [w_refs[i][:] for i in range(n_layers)]
+    bs = [b_refs[i][:] for i in range(n_layers)]
+    wp = [_prep_ws_m(ws, m, dtype) for m in range(M)]
+    kmax_row = kmax_ref[:][None, :, :]
+    n_chunks = T // Tc
+    ct = ct_ref[0, :]
+
+    for s in range(S):
+        d1_ext[s, pl.ds(0, 8), :] = jnp.zeros((8, B), jnp.float32)
+        d2_ext[s, pl.ds(0, 8), :] = jnp.zeros((8, B), jnp.float32)
+
+    def body(c, _):
+        start = pl.multiple_of(c * Tc, 8)
+        wins = [g_refs[d][pl.ds(start, Tc + 8), :] for d in range(D)]
+        halo_planes = [w[0:Tc + 2, :] for w in wins]
+        center_planes = [w[1:Tc + 1, :] for w in wins]
+
+        draws = _gen_draws_f32(seed_ref, c, 2 * S, Tc, B, kmax_row)
+        for s in range(S):
+            d1_ext[s, pl.ds(8, Tc), :] = draws[s]
+            d2_ext[s, pl.ds(8, Tc), :] = draws[S + s]
+
+        # segments j = c*Tc-1+i for i = 0..Tc; valid iff 0 <= j <= T-2
+        seg_ids = jax.lax.broadcasted_iota(jnp.int32, (Tc + 1, 1), 0) \
+            + c * Tc - 1
+        seg_valid = ((seg_ids >= 0) & (seg_ids <= T - 2)).astype(jnp.float32)
+
+        ones_x = jnp.ones((1, 1, X), jnp.float32)
+        dd1_3, dd2_3 = [], []
+        dcur_3, dprev_3 = [], []
+        x1s = [jnp.zeros((Tc + 1, B, X), jnp.float32) for _ in range(S)]
+        x2s = [jnp.zeros((Tc + 1, B, X), jnp.float32) for _ in range(S)]
+        for s in range(S):
+            w1 = d1_ext[s, :, :]                     # (Tc+8, B)
+            w2 = d2_ext[s, :, :]
+            # ext row 7+i = segment c*Tc-1+i (the padded-plane layout's w[i])
+            dd1_3.append(w1[7:7 + Tc + 1][:, :, None] * ones_x)
+            dd2_3.append(w2[7:7 + Tc + 1][:, :, None] * ones_x)
+            dcur_3.append(w1[8:8 + Tc][:, :, None] * ones_x)
+            dprev_3.append(w2[7:7 + Tc][:, :, None] * ones_x)
+        for m in range(M):
+            h1 = _first_layer(halo_planes, ws[0][m], bs[0][m], dtype)
+            xa = _tail_layers(h1, ws, bs, m, dtype,
+                              wpairs=wp[m]).reshape(Tc + 2, B, X)
+            fm = jnp.float32(m)
+            for s in range(S):
+                x1s[s] = x1s[s] + jnp.where(dd1_3[s] == fm, xa[0:Tc + 1], 0.0)
+                x2s[s] = x2s[s] + jnp.where(dd2_3[s] == fm, xa[1:Tc + 2], 0.0)
+        for s in range(S):
+            d_val = (x2s[s] - x1s[s]) * seg_valid[:, :, None]
+            diffs[s, pl.ds(0, Tc + 8), :, :] = jnp.pad(
+                d_val, ((0, 7), (0, 0), (0, 0)))
+
+        scale = (2.0 / S) * ct[None, :, None]
+        dgs = [jnp.zeros((Tc, B), jnp.float32) for _ in range(D)]
+        dfs = [diffs[s, :, :, :] for s in range(S)]
+        for m in range(M):
+            fm = jnp.float32(m)
+            dx = jnp.zeros((Tc, B, X), jnp.float32)
+            for s in range(S):
+                dx = dx - jnp.where(dcur_3[s] == fm, dfs[s][1:Tc + 1], 0.0) \
+                    + jnp.where(dprev_3[s] == fm, dfs[s][0:Tc], 0.0)
+            dx = dx * scale
+
+            h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
+            _, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
+                                   wpairs=wp[m])
+            dh = dx.reshape(Tc * B, X)
+            chain_prec = "bfloat16" if dtype in ("f32x3", "f32x2") else dtype
+            for i in range(n_layers - 1, 0, -1):
+                dh = _mp_dot(dh, wp[m][i], chain_prec, transpose=True)
+                act = acts[i - 2] if i >= 2 else h1
+                dh = dh * (act > 0.0)
+            dh3 = dh.reshape(Tc, B, ws[0].shape[-1])
+            for d in range(D):
+                w1d = ws[0][m, d].astype(jnp.float32)
+                dgs[d] = dgs[d] + jnp.sum(dh3 * w1d[None, None, :], axis=-1)
+        for d in range(D):
+            dg_refs[d][pl.ds(start, Tc), :] = dgs[d]
+        for s in range(S):
+            d1_ext[s, 7, :] = d1_ext[s, 7 + Tc, :]
+            d2_ext[s, 7, :] = d2_ext[s, 7 + Tc, :]
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _build_rng(kind, T, B, Bb, D, X, M, S, Tc, n_layers, dtype, interpret,
+               ws, bs):
+    if interpret:
+        # plain interpret mode has no rule for prng_seed/program_id; the TPU
+        # interpret backend emulates them (PRNG yields zero bits — enough
+        # for plumbing tests; sampling behavior is validated on hardware)
+        interpret = pltpu.InterpretParams()
+    n_blocks = B // Bb
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kmax_spec = pl.BlockSpec((1, Bb), lambda i: (0, i))
+    if kind == "fwd":
+        kernel = functools.partial(_fwd_kernel_rng, T=T, B=Bb, D=D, X=X, M=M,
+                                   S=S, Tc=Tc, n_layers=n_layers, dtype=dtype)
+        g_spec = pl.BlockSpec((T, Bb), lambda i: (0, i))
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+            in_specs=[g_spec] * D + [seed_spec, kmax_spec]
+            + _specs_for(ws, bs),
+            out_specs=pl.BlockSpec((1, Bb), lambda i: (0, i)),
+            scratch_shapes=[pltpu.VMEM((S, Tc + 8, Bb, X), jnp.float32),
+                            pltpu.VMEM((Tc, Bb), jnp.float32),
+                            pltpu.VMEM((S, Tc + 8, Bb), jnp.float32)],
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )
+    kernel = functools.partial(_bwd_kernel_rng, T=T, B=Bb, D=D, X=X, M=M,
+                               S=S, Tc=Tc, n_layers=n_layers, dtype=dtype)
+    g_spec = pl.BlockSpec((T + 8, Bb), lambda i: (0, i))
+    ct_spec = pl.BlockSpec((1, Bb), lambda i: (0, i))
+    dg_spec = pl.BlockSpec((T, Bb), lambda i: (0, i))
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=[jax.ShapeDtypeStruct((T, B), jnp.float32)] * D,
+        in_specs=[g_spec] * D + [seed_spec, kmax_spec, ct_spec]
+        + _specs_for(ws, bs),
+        out_specs=[dg_spec] * D,
+        scratch_shapes=[
+            pltpu.VMEM((S, Tc + 8, Bb, X), jnp.float32),
+            pltpu.VMEM((S, Tc + 8, Bb), jnp.float32),
+            pltpu.VMEM((S, Tc + 8, Bb), jnp.float32),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def energy_mc_fused_rng(decoders, gamma, seed, kmax, mc_samples: int = 2,
+                        precision: str = "float32"):
+    """Fused sampled ensemble energy with IN-KERNEL decoder draws.
+
+    seed: (1,) int32 — one per optimization step (derive from the step key);
+    kmax: (1, B) f32 per-spline active-decoder counts (``jnp.full`` with the
+    ensemble size for the uniform case).  Returns (B,).  Differentiable in
+    gamma only.  TPU-only — off-TPU use :func:`energy_mc_fused` with
+    host-generated indices (interpret-mode PRNG yields zero bits).
+    """
+    e, _ = _fwd_impl_rng(decoders, gamma, seed, kmax, mc_samples, precision)
+    return e
+
+
+def _fwd_impl_rng(decoders, gamma, seed, kmax, mc_samples, precision):
+    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _common(decoders, gamma)
+    if precision not in PRECISIONS:
+        raise ValueError(f"unknown kernel precision {precision!r}")
+    ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    gamma_p = _pad_b(gamma, B_pad, axis=1)
+    kmax_p = _pad_b(jnp.asarray(kmax, jnp.float32).reshape(1, B), B_pad,
+                    axis=1)
+    fwd = _build_rng("fwd", T, B_pad, Bb, D, X, M, mc_samples, Tc, len(ws),
+                     precision, not _is_tpu(), ws, bs)
+    out = fwd(*_gamma_planes(gamma_p), jnp.asarray(seed, jnp.int32).reshape(1),
+              kmax_p, *_cast_ws(ws, ship), *bs)
+    return out[0, :B], (decoders, gamma, seed, kmax)
+
+
+def _fwd_rule_rng(decoders, gamma, seed, kmax, mc_samples, precision):
+    return _fwd_impl_rng(decoders, gamma, seed, kmax, mc_samples, precision)
+
+
+def _bwd_rule_rng(mc_samples, precision, res, ct):
+    decoders, gamma, seed, kmax = res
+    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _common(decoders, gamma)
+    ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    gamma_p = _pad_b(gamma, B_pad, axis=1)
+    kmax_p = _pad_b(jnp.asarray(kmax, jnp.float32).reshape(1, B), B_pad,
+                    axis=1)
+    ct_p = _pad_b(ct.reshape(1, B).astype(jnp.float32), B_pad, axis=1)
+    if B_pad != B:
+        lane = jnp.arange(B_pad)[None, :] < B
+        ct_p = ct_p * lane.astype(jnp.float32)
+    bwd = _build_rng("bwd", T, B_pad, Bb, D, X, M, mc_samples, Tc, len(ws),
+                     precision, not _is_tpu(), ws, bs)
+    dplanes = bwd(*_gamma_planes_padded(gamma_p),
+                  jnp.asarray(seed, jnp.int32).reshape(1), kmax_p, ct_p,
+                  *_cast_ws(ws, ship), *bs)
+    dgamma = jnp.stack(dplanes, axis=-1)[:, :B]
+    zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, decoders)
+    return (zeros_dec, dgamma, jnp.zeros_like(jnp.asarray(seed)),
+            jnp.zeros_like(jnp.asarray(kmax)))
+
+
+energy_mc_fused_rng.defvjp(_fwd_rule_rng, _bwd_rule_rng)
+
+
 def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
     """Sampled-energy forward.
 

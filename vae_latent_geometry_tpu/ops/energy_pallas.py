@@ -370,6 +370,301 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
+def _backprop_chain(dx, h1, acts, ws, wp_m, dtype, Tc, B, n_layers, dgs):
+    """Backprop an (Tc, B, X) output cotangent through one decoder's tail
+    layers and first layer, accumulating into the D per-plane dgamma
+    accumulators ``dgs`` (in place on the Python list).  The cotangent chain
+    is difference-valued, so bf16 rounding is RELATIVE to the gradient
+    itself — single-pass under the reduced rungs (docs/NUMERICS.md)."""
+    chain_prec = "bfloat16" if dtype in ("f32x3", "f32x2") else dtype
+    dh = dx.reshape(Tc * B, dx.shape[-1])
+    for i in range(n_layers - 1, 0, -1):
+        dh = _mp_dot(dh, wp_m[i], chain_prec, transpose=True)
+        act = acts[i - 2] if i >= 2 else h1
+        dh = dh * (act > 0.0)
+    dh3 = dh.reshape(Tc, B, ws[0].shape[-1])
+    for d in range(len(dgs)):
+        w1d = wp_m[0][d]                      # (H1,) f32 row of W1
+        dgs[d] = dgs[d] + jnp.sum(dh3 * w1d[None, None, :], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Ensemble sufficient-statistics kernels (the ep-sharded fast path).
+#
+# The fused energy kernels above hold ALL ensemble decoders in one kernel —
+# perfect on a single chip, but the decoder axis (SURVEY §2.9's designated
+# expert-parallel axis, the reference's per-decoder stack loop at upstream
+# src/optimize.py:50) cannot be split across devices that way.  The expected
+# energy is a function of per-(t, b) sufficient statistics that are SUMS over
+# decoders, so each ep shard runs this kernel over its local decoder subset:
+#
+#   x0  = x_{m0}(t, b)                 (local reference decoder's output)
+#   yb  = sum_{j>=1} w_j (x_j - x0)    (weighted centered first moment)
+#   sq  = sum_{j>=1} w_j ||x_j - x0||^2
+#
+# and the global energy is assembled from psums of per-shard statistics in
+# plain XLA (energy_expected_sharded): centering keeps every communicated
+# quantity at deviation scale, so f32 psums lose nothing (the uncentered
+# sum-of-squares would cancel catastrophically — docs/NUMERICS.md).
+#
+# Unlike the energy kernels these are pointwise in t (segment differencing
+# happens on the psummed means), so there are no halos or carries: a 2D
+# (B-block x T-chunk) grid streams tiles through VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _stats_fwd_kernel(*refs, D, X, M, n_layers, dtype):
+    g_refs = refs[:D]                          # D x (Tc, Bb)
+    w_refs = refs[D:D + n_layers]
+    b_refs = refs[D + n_layers:D + 2 * n_layers]
+    wmb_ref = refs[D + 2 * n_layers]           # (M, Bb) local weights
+    x0_ref = refs[D + 2 * n_layers + 1]        # (Tc, Bb, X)
+    yb_ref = refs[D + 2 * n_layers + 2]        # (Tc, Bb, X)
+    sq_ref = refs[D + 2 * n_layers + 3]        # (Tc, Bb)
+
+    ws = [w_refs[i][:] for i in range(n_layers)]
+    bs = [b_refs[i][:] for i in range(n_layers)]
+    wp = [_prep_ws_m(ws, m, dtype) for m in range(M)]
+    wmb = wmb_ref[:]
+    g_planes = [g_refs[d][:] for d in range(D)]
+    Tc, B = g_planes[0].shape
+
+    x0 = _decode_planes(g_planes, ws, bs, 0, dtype, wp[0]).reshape(Tc, B, X)
+    ybar = jnp.zeros((Tc, B, X), jnp.float32)
+    sqy = jnp.zeros((Tc, B), jnp.float32)
+    for m in range(1, M):
+        x = _decode_planes(g_planes, ws, bs, m, dtype, wp[m])
+        y = x.reshape(Tc, B, X) - x0
+        w_m = wmb[m, :][None, :]
+        ybar = ybar + w_m[:, :, None] * y
+        sqy = sqy + w_m * jnp.sum(y * y, axis=-1)
+    x0_ref[:] = x0
+    yb_ref[:] = ybar
+    sq_ref[:] = sqy
+
+
+def _stats_bwd_kernel(*refs, D, X, M, n_layers, dtype):
+    g_refs = refs[:D]                          # D x (Tc, Bb)
+    dx0_ref = refs[D]                          # (Tc, Bb, X)
+    dyb_ref = refs[D + 1]                      # (Tc, Bb, X)
+    dsq_ref = refs[D + 2]                      # (Tc, Bb)
+    w_refs = refs[D + 3:D + 3 + n_layers]
+    b_refs = refs[D + 3 + n_layers:D + 3 + 2 * n_layers]
+    wmb_ref = refs[D + 3 + 2 * n_layers]
+    dg_refs = refs[D + 4 + 2 * n_layers:D + 4 + 2 * n_layers + D]
+
+    ws = [w_refs[i][:] for i in range(n_layers)]
+    bs = [b_refs[i][:] for i in range(n_layers)]
+    # f32 W1 rows for the final dgamma contraction (wp[m][0] slot repurposed:
+    # _prep_ws_m leaves index 0 as None — fill with the f32 first layer)
+    wp = []
+    for m in range(M):
+        wm = _prep_ws_m(ws, m, dtype)
+        wm[0] = [ws[0][m, d].astype(jnp.float32) for d in range(D)]
+        wp.append(wm)
+    wmb = wmb_ref[:]
+    g_planes = [g_refs[d][:] for d in range(D)]
+    Tc, B = g_planes[0].shape
+    dx0 = dx0_ref[:]
+    dyb = dyb_ref[:]
+    dsq3 = dsq_ref[:][:, :, None]
+
+    h1_0 = _first_layer(g_planes, ws[0][0], bs[0][0], dtype)
+    x0_flat, acts0 = _tail_layers(h1_0, ws, bs, 0, dtype, keep_acts=True,
+                                  wpairs=wp[0])
+    x0 = x0_flat.reshape(Tc, B, X)
+
+    dgs = [jnp.zeros((Tc, B), jnp.float32) for _ in range(D)]
+    c_sum = jnp.zeros((Tc, B, X), jnp.float32)
+    for m in range(1, M):
+        h1 = _first_layer(g_planes, ws[0][m], bs[0][m], dtype)
+        xf, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
+                                wpairs=wp[m])
+        y = xf.reshape(Tc, B, X) - x0
+        c = wmb[m, :][None, :, None] * (dyb + 2.0 * y * dsq3)
+        c_sum = c_sum + c
+        _backprop_chain(c, h1, acts, ws, wp[m], dtype, Tc, B, n_layers, dgs)
+    # d x0: direct cotangent minus every y_j's -x0 dependency
+    _backprop_chain(dx0 - c_sum, h1_0, acts0, ws, wp[0], dtype, Tc, B,
+                    n_layers, dgs)
+    for d in range(D):
+        dg_refs[d][:] = dgs[d]
+
+
+def stats_fits(T, B, D, X, M) -> bool:
+    """Shape guard for the stats kernels (same dialect limits as
+    :func:`fused_fits`; no carry/halo constraints — tiles are independent)."""
+    if D > 2 or X > 128 or M > 16:
+        return False
+    Bb = _pick_bb(_round_up(B, 8), _MAX_BB_MC)
+    Tc = _pick_chunk(T, Bb)
+    return Tc % 8 == 0 and T % Tc == 0
+
+
+def _stats_dims(decoders, gamma):
+    T, B, D = gamma.shape
+    ws, bs = _stack_weights(decoders)
+    M = ws[0].shape[0]
+    X = ws[-1].shape[-1]
+    B_pad = _round_up(B, 8)
+    Bb = _pick_bb(B_pad, _MAX_BB_MC)
+    B_pad = _round_up(B_pad, Bb)
+    Tc = _pick_chunk(T, Bb)
+    return T, B, B_pad, Bb, D, X, M, Tc, ws, bs
+
+
+def _build_stats(kind, T, B, Bb, D, X, M, Tc, n_layers, dtype, interpret,
+                 ws, bs):
+    grid = (B // Bb, T // Tc)
+    g_spec = pl.BlockSpec((Tc, Bb), lambda i, j: (j, i))
+    x_spec = pl.BlockSpec((Tc, Bb, X), lambda i, j: (j, i, 0))
+    wmb_spec = pl.BlockSpec((M, Bb), lambda i, j: (0, i))
+    w_specs = [pl.BlockSpec(w.shape, lambda i, j, _s=w.shape: (0,) * len(_s))
+               for w in ws]
+    b_specs = [pl.BlockSpec(b.shape, lambda i, j, _s=b.shape: (0,) * len(_s))
+               for b in bs]
+    if kind == "fwd":
+        kernel = functools.partial(_stats_fwd_kernel, D=D, X=X, M=M,
+                                   n_layers=n_layers, dtype=dtype)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=[jax.ShapeDtypeStruct((T, B, X), jnp.float32),
+                       jax.ShapeDtypeStruct((T, B, X), jnp.float32),
+                       jax.ShapeDtypeStruct((T, B), jnp.float32)],
+            in_specs=[g_spec] * D + w_specs + b_specs + [wmb_spec],
+            out_specs=[x_spec, x_spec, g_spec],
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )
+    kernel = functools.partial(_stats_bwd_kernel, D=D, X=X, M=M,
+                               n_layers=n_layers, dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=[jax.ShapeDtypeStruct((T, B), jnp.float32)] * D,
+        in_specs=[g_spec] * D + [x_spec, x_spec, g_spec]
+        + w_specs + b_specs + [wmb_spec],
+        out_specs=[g_spec] * D,
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def ensemble_stats_fused(decoders, gamma, wmb, precision: str = "float32"):
+    """Per-shard ensemble sufficient statistics, fused.
+
+    gamma: (T, B, D) curve; wmb: (M, B) LOCAL decoder weights (rows of the
+    global weight plane belonging to this shard — need not sum to 1).
+    Returns (x0, yb, sq): the local reference decoder's output (T, B, X) and
+    the weighted centered moments described in the module notes above.
+    Differentiable in gamma only.
+    """
+    out, _ = _stats_fwd_impl(decoders, gamma, wmb, precision)
+    return out
+
+
+def _stats_fwd_impl(decoders, gamma, wmb, precision):
+    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _stats_dims(decoders, gamma)
+    if precision not in PRECISIONS:
+        raise ValueError(f"unknown kernel precision {precision!r}")
+    ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    gamma_p = _pad_b(gamma, B_pad, axis=1)
+    wmb_p = _pad_b(jnp.asarray(wmb, jnp.float32), B_pad, axis=1)
+    fwd = _build_stats("fwd", T, B_pad, Bb, D, X, M, Tc, len(ws), precision,
+                       not _is_tpu(), ws, bs)
+    x0, yb, sq = fwd(*_gamma_planes(gamma_p), *_cast_ws(ws, ship), *bs, wmb_p)
+    out = (x0[:, :B], yb[:, :B], sq[:, :B])
+    return out, (decoders, gamma, wmb)
+
+
+def _stats_fwd_rule(decoders, gamma, wmb, precision):
+    return _stats_fwd_impl(decoders, gamma, wmb, precision)
+
+
+def _stats_bwd_rule(precision, res, ct):
+    decoders, gamma, wmb = res
+    d_x0, d_yb, d_sq = ct
+    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _stats_dims(decoders, gamma)
+    ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
+    gamma_p = _pad_b(gamma, B_pad, axis=1)
+    wmb_p = _pad_b(jnp.asarray(wmb, jnp.float32), B_pad, axis=1)
+
+    def pad_ct(x):
+        """Zero-pad cotangents on the batch axis (edge-replicated padding
+        lanes must not contribute gradient)."""
+        pad = B_pad - x.shape[1]
+        if pad == 0:
+            return jnp.asarray(x, jnp.float32)
+        widths = [(0, 0)] * x.ndim
+        widths[1] = (0, pad)
+        return jnp.pad(jnp.asarray(x, jnp.float32), widths)
+
+    bwd = _build_stats("bwd", T, B_pad, Bb, D, X, M, Tc, len(ws), precision,
+                       not _is_tpu(), ws, bs)
+    dplanes = bwd(*_gamma_planes(gamma_p), pad_ct(d_x0), pad_ct(d_yb),
+                  pad_ct(d_sq), *_cast_ws(ws, ship), *bs, wmb_p)
+    dgamma = jnp.stack(dplanes, axis=-1)[:, :B]
+    zeros_dec = jax.tree_util.tree_map(jnp.zeros_like, decoders)
+    return zeros_dec, dgamma, jnp.zeros_like(jnp.asarray(wmb))
+
+
+ensemble_stats_fused.defvjp(_stats_fwd_rule, _stats_bwd_rule)
+
+
+def uniform_weights_local(M_total, M_local: int, B: int):
+    """Local rows of the uniform global weight plane (each of ``M_local``
+    decoders carries weight 1/M_total)."""
+    return jnp.ones((M_local, B), jnp.float32) / M_total
+
+
+def active_weights_local(num_active, M_total, M_local: int, B: int,
+                         axis_name=None):
+    """Local rows of :func:`active_weights` for an ep shard: global decoder
+    index = axis_index * M_local + local index."""
+    k = jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
+    p = jax.lax.axis_index(axis_name) if axis_name is not None else 0
+    m_global = p * M_local + jnp.arange(M_local)
+    mask = (m_global[:, None] < k[None, :]).astype(jnp.float32)
+    return mask / k.astype(jnp.float32)[None, :]
+
+
+def energy_expected_sharded(decoders, gamma, wmb, axis_name=None,
+                            precision: str = "float32"):
+    """Expected ensemble energy with the decoder axis sharded over mesh axis
+    ``axis_name`` — call INSIDE ``shard_map``: ``decoders``/``wmb`` hold this
+    shard's local subset.  Per-shard sufficient statistics come from the
+    fused stats kernel; they meet in two (T, B[, X])-shaped psums over
+    ``axis_name``; the segment assembly is plain (well-conditioned, centered)
+    XLA.  With ``axis_name=None`` this is a single-device decomposition of
+    :func:`energy_expected_fused` (used by the equivalence tests).
+
+    Returns (B,) energies, identical on every shard of ``axis_name``.
+
+    Autodiff contract (``shard_map(check_vma=False)``): JAX's untyped
+    transpose of ``psum`` is ``psum``, which makes each shard's cotangent of
+    a psummed statistic the SUM of every shard's downstream cotangents.
+    That is exactly the true total derivative PROVIDED the replicated final
+    consumer contributes its cotangent once in total, not once per shard —
+    so the caller must scale its per-shard loss by 1/axis_size and psum the
+    resulting gradients (``optim/geodesic`` does both); per-shard gradients
+    are then true partials and their psum is the exact global gradient
+    (verified against the single-device path in tests/test_sharding.py).
+    """
+    x0, yb, sq = ensemble_stats_fused(decoders, gamma, wmb, precision)
+    w_sum = jnp.sum(jnp.asarray(wmb, jnp.float32), axis=0)       # (B,)
+    s1 = w_sum[None, :, None] * x0 + yb                          # (T, B, X)
+    xbar = s1 if axis_name is None else jax.lax.psum(s1, axis_name)
+    d0 = x0 - xbar                                               # deviation
+    var_p = (sq + 2.0 * jnp.sum(yb * d0, axis=-1)
+             + w_sum[None, :] * jnp.sum(d0 * d0, axis=-1))
+    var = var_p if axis_name is None else jax.lax.psum(var_p, axis_name)
+    diff = xbar[1:] - xbar[:-1]
+    seg = jnp.sum(diff * diff, axis=-1) + var[1:] + var[:-1]
+    return jnp.sum(seg, axis=0)
+
+
 def _specs_for(ws, bs):
     """in_specs for the stacked weights/biases (+ extras): full arrays,
     re-used by every B-block."""

@@ -61,7 +61,8 @@ class GeodesicResult(NamedTuple):
 
 
 def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
-               num_active=None, kernel_precision: str = "f32x3"):
+               num_active=None, kernel_precision: str = "f32x3",
+               ep_axis=None, mc_inkernel_rng: bool = True):
     if mode == "single":
         return energy_lib.energy_single(decoders, gamma)
     if mode in ("single_fused", "single_fused_bf16"):
@@ -91,9 +92,13 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
     if mode in ("mc_fused", "mc_fused_bf16"):
         from vae_latent_geometry_tpu.ops.energy_mc_pallas import (
             energy_mc_fused,
+            energy_mc_fused_rng,
             sample_decoder_indices,
         )
-        from vae_latent_geometry_tpu.ops.energy_pallas import fused_fits
+        from vae_latent_geometry_tpu.ops.energy_pallas import (
+            _is_tpu,
+            fused_fits,
+        )
 
         T, B, D = gamma.shape
         m_dec = jax.tree_util.tree_leaves(decoders)[0].shape[0]
@@ -103,9 +108,20 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
             _warn_fallback(mode, T, B, D, X, m_dec)
             return energy_lib.energy_mc(decoders, gamma, key, mc_samples,
                                         num_active)
+        precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
+        if mc_inkernel_rng and _is_tpu():
+            # TPU fast path: decoder draws from the core's hardware PRNG at
+            # the point of use — no (S, T, B) index planes in HBM
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(key, (1,), jnp.uint32), jnp.int32)
+            kmax = (jnp.broadcast_to(jnp.asarray(num_active), (B,))
+                    if num_active is not None
+                    else jnp.full((B,), m_dec)).astype(jnp.float32)
+            return energy_mc_fused_rng(decoders, gamma, seed,
+                                       kmax.reshape(1, B), mc_samples,
+                                       precision)
         d1, d2 = sample_decoder_indices(key, T, B, m_dec, mc_samples,
                                         num_active)
-        precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
         return energy_mc_fused(decoders, gamma, d1, d2, precision)
     if mode == "expected":
         return energy_lib.energy_expected(decoders, gamma, num_active)
@@ -119,6 +135,24 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
         T, B, D = gamma.shape
         m_dec = jax.tree_util.tree_leaves(decoders)[0].shape[0]
         X = decoders["layers"][-1]["w"].shape[-1]
+        if ep_axis is not None:
+            # decoder-ensemble axis sharded over the mesh (expert parallel):
+            # per-shard sufficient statistics + psum — decoders here are the
+            # LOCAL subset (shard_map has already sliced them)
+            from vae_latent_geometry_tpu.ops.energy_pallas import (
+                active_weights_local,
+                energy_expected_sharded,
+                uniform_weights_local,
+            )
+
+            m_total = m_dec * jax.lax.psum(1, ep_axis)
+            precision = ("bfloat16" if mode.endswith("bf16")
+                         else kernel_precision)
+            wmb = (active_weights_local(num_active, m_total, m_dec, B, ep_axis)
+                   if num_active is not None
+                   else uniform_weights_local(m_total, m_dec, B))
+            return energy_expected_sharded(decoders, gamma, wmb, ep_axis,
+                                           precision)
         if not fused_fits(T, B, D, X, m_dec, mc=False):
             _warn_fallback(mode, T, B, D, X, m_dec)
             return energy_lib.energy_expected(decoders, gamma, num_active)
@@ -156,14 +190,25 @@ def make_loss_fn(decoders, basis, cfg: GeodesicConfig) -> Callable:
         gamma_dot = (eval_spline_velocity(omega, a, b, dphi)
                      if needs_vel else None)
         e = _energy_fn(e_cfg.mode, decoders, gamma, gamma_dot, key,
-                       e_cfg.mc_samples, num_active, e_cfg.kernel_precision)
+                       e_cfg.mc_samples, num_active, e_cfg.kernel_precision,
+                       e_cfg.ep_axis, e_cfg.mc_inkernel_rng)
         # endpoint penalty (reference src/optimize.py:158-160): exactly zero
         # in exact arithmetic because the basis enforces offset(1)=0, kept for
         # faithful gradients under float32.
         gamma_end = eval_spline_design(omega, a, b, phi_end, t_end)
         ep = jnp.sum((gamma_end[0] - b) ** 2, axis=-1)
         per_spline = e + e_cfg.endpoint_weight * ep
-        return jnp.sum(per_spline), e
+        total = jnp.sum(per_spline)
+        if e_cfg.ep_axis is not None:
+            # ep-sharded gradient contract (see energy_expected_sharded):
+            # JAX's untyped transpose turns every in-loss psum into a psum,
+            # so replicated consumers would contribute their cotangent once
+            # PER SHARD.  Scaling the whole per-shard loss by 1/axis_size
+            # makes each shard's gradient a true partial; the optimizer then
+            # psums gradients over the axis for the exact global gradient.
+            # The reported per-spline energies ``e`` stay unscaled.
+            total = total / jax.lax.psum(1, e_cfg.ep_axis)
+        return total, e
 
     return loss
 
@@ -181,6 +226,11 @@ def _optimize_scan(decoders, omega0, a, b, basis, key,
         (loss, e), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             omega, a, b, step_key, num_active
         )
+        if cfg.energy.ep_axis is not None:
+            # each ep shard's gradient covers only its decoder subset's
+            # energy contribution; the true gradient of the (replicated)
+            # omega is their sum — without this, shards silently diverge
+            grads = jax.lax.psum(grads, cfg.energy.ep_axis)
         updates, opt_state = opt.update(grads, opt_state, omega)
         omega = optax.apply_updates(omega, updates)
         return (omega, opt_state), (e if record_history else None)
@@ -229,11 +279,12 @@ def optimize_splines(decoders, omega0, a, b, basis, cfg: GeodesicConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig):
+def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig,
+                         num_active=None):
     loss_fn = make_loss_fn(decoders, basis, cfg)
     opt = optax.adam(cfg.lr)
 
-    _, e0 = loss_fn(omega0, a, b, key)
+    _, e0 = loss_fn(omega0, a, b, key, num_active)
 
     def cond(state):
         step, _, _, _, _, patience_ctr = state
@@ -244,8 +295,10 @@ def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig
         step, omega, opt_state, best_omega, best_e, patience_ctr = state
         step_key = jax.random.fold_in(key, step)
         (_, e), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            omega, a, b, step_key
+            omega, a, b, step_key, num_active
         )
+        if cfg.energy.ep_axis is not None:
+            grads = jax.lax.psum(grads, cfg.energy.ep_axis)
         updates, opt_state = opt.update(grads, opt_state, omega)
         omega = optax.apply_updates(omega, updates)
         rel_improvement = (best_e - e) / best_e
@@ -266,18 +319,20 @@ def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig
             mode=cfg.energy.mode.removesuffix("_bf16"),
             kernel_precision="float32"))
     exact_loss = make_loss_fn(decoders, basis, cfg_exact)
-    _, best_e = exact_loss(best_omega, a, b, key)
+    _, best_e = exact_loss(best_omega, a, b, key, num_active)
     return best_omega, best_e
 
 
 def optimize_spline_early_stopping(decoders, omega0, a, b, basis,
-                                   cfg: GeodesicConfig, key=None) -> GeodesicResult:
+                                   cfg: GeodesicConfig, key=None,
+                                   num_active=None) -> GeodesicResult:
     """Best-params-restoring early-stopped optimization (batched over B with
     per-spline patience counters; the loop exits when every spline is out of
     patience or the step budget is spent)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     omega, e = _optimize_early_stop(
-        decoders, omega0, a, b, jnp.asarray(basis), key, cfg
+        decoders, omega0, a, b, jnp.asarray(basis), key, cfg,
+        num_active,
     )
     return GeodesicResult(omega=omega, energy=e, lengths=jnp.sqrt(e))

@@ -76,11 +76,33 @@ def sharded_optimize_splines(
     basis = jax.device_put(jnp.asarray(basis), replicated(mesh))
 
     if fused:
+        import dataclasses as _dc
+
         from jax.sharding import PartitionSpec as P
 
-        decoders = jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)),
-            decoders)
+        ep = mesh.shape.get("ep", 1)
+        m_dec = jax.tree_util.tree_leaves(decoders)[0].shape[0]
+        # expert parallelism on the fast path: when the decoder-ensemble axis
+        # divides over 'ep', each ep shard holds a decoder subset and the
+        # fused stats kernel + psum assemble the energy
+        # (ops/energy_pallas.energy_expected_sharded); MC-sampled fused modes
+        # keep decoders replicated (their per-segment decoder gathers do not
+        # decompose into per-shard sufficient statistics).
+        use_ep = (ep > 1 and m_dec % ep == 0
+                  and cfg.energy.mode.startswith("expected_fused"))
+        if use_ep:
+            cfg = _dc.replace(cfg, energy=_dc.replace(cfg.energy,
+                                                      ep_axis="ep"))
+            dec_spec = P("ep")
+            decoders = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    jnp.asarray(x), named_sharding(mesh, "ep")),
+                decoders)
+        else:
+            dec_spec = P()
+            decoders = jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)),
+                decoders)
         dp_spec = P("dp")
         rep = P()
         has_na = num_active is not None
@@ -92,7 +114,7 @@ def sharded_optimize_splines(
                 na[0] if na else None)
             return om_out, e_out
 
-        in_specs = (rep, dp_spec, dp_spec, dp_spec, rep) + (
+        in_specs = (dec_spec, dp_spec, dp_spec, dp_spec, rep) + (
             (dp_spec,) if has_na else ())
         fn = jax.shard_map(
             per_shard, mesh=mesh, in_specs=in_specs,

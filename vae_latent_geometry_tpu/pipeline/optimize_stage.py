@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import queue
+import threading
 from typing import Optional
 
 import jax
@@ -26,7 +28,57 @@ from vae_latent_geometry_tpu.io.artifacts import (
     save_spline_batch,
 )
 from vae_latent_geometry_tpu.models import evae as evae_lib
-from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
+from vae_latent_geometry_tpu.optim.geodesic import (
+    optimize_spline_early_stopping,
+    optimize_splines,
+)
+
+
+class _AsyncCheckpointer:
+    """Latest-wins background checkpoint writer.
+
+    The reference saves once at the very end (a crash loses everything,
+    upstream ``src/optimize.py:190``); round-2's fix flushed every chunk but
+    serialized the full artifact ON the critical path — at full-matrix scale
+    (8,778 pairs) that rewrite eats into the multi-chip speedup.  Here the
+    optimize loop hands a complete snapshot to a daemon thread and moves on;
+    a snapshot that is still pending when a newer one arrives is simply
+    replaced (every snapshot is self-contained, so only the newest matters).
+    ``close()`` drains the queue and re-raises any writer error."""
+
+    def __init__(self, save_fn):
+        self._save_fn = save_fn
+        self._q: queue.Queue = queue.Queue(maxsize=1)
+        self._err: Optional[BaseException] = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                self._save_fn(item)
+            except BaseException as e:  # surfaced on close()
+                self._err = e
+
+    def submit(self, item):
+        while True:
+            try:
+                self._q.put_nowait(item)
+                return
+            except queue.Full:
+                try:
+                    self._q.get_nowait()   # drop the stale pending snapshot
+                except queue.Empty:
+                    pass
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
 
 
 def optimize_spline_batch(
@@ -122,6 +174,15 @@ def optimize_spline_batch(
                 energy_params, om0, a_sl, b_sl,
                 art.basis, cfg, mesh, key=jax.random.fold_in(key, start),
             )
+        if cfg.early_stop:
+            # chunk-level convergence exit: the while-loop optimizer stops a
+            # chunk when every spline is out of patience instead of burning
+            # the fixed step budget (full-matrix timing:
+            # experiment/full133_earlystop_timing.json)
+            return optimize_spline_early_stopping(
+                energy_params, om0, a_sl, b_sl,
+                art.basis, cfg, key=jax.random.fold_in(key, start),
+            )
         return optimize_splines(
             energy_params, om0, a_sl, b_sl,
             art.basis, cfg, key=jax.random.fold_in(key, start),
@@ -133,6 +194,19 @@ def optimize_spline_batch(
     pending = [s for s in range(0, P, bs)
                if not done[s:min(s + bs, P)].all()]
     submitted = {s: _submit(s) for s in pending}
+
+    saver = None
+    if checkpoint_path:
+        def _save_snapshot(snap):
+            om, ln = snap
+            partial = dataclasses.replace(
+                art, omega_optimized=om, geodesic_length=ln,
+                euclidean_distance=eucl,
+            )
+            save_spline_batch(partial, checkpoint_path)
+
+        saver = _AsyncCheckpointer(_save_snapshot)
+
     for start in pending:
         sl = slice(start, min(start + bs, P))
         n_sl = sl.stop - sl.start
@@ -161,12 +235,12 @@ def optimize_spline_batch(
         if log_every_chunk:
             print(f"[chunk {start // bs + 1}/{(P - 1) // bs + 1}] "
                   f"mean energy {float(np.mean(e_np)):.4f}")
-        if checkpoint_path:
-            partial = dataclasses.replace(
-                art, omega_optimized=omega_opt, geodesic_length=lengths,
-                euclidean_distance=eucl,
-            )
-            save_spline_batch(partial, checkpoint_path)
+        if saver is not None:
+            # snapshot copies: the loop keeps mutating these arrays while
+            # the daemon thread serializes
+            saver.submit((omega_opt.copy(), lengths.copy()))
+    if saver is not None:
+        saver.close()
 
     lengths = np.where(art.valid, lengths, np.nan)
     out = dataclasses.replace(
