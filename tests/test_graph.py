@@ -146,3 +146,92 @@ def test_end_to_end_init_synthetic(rng):
     for i in (0, 1, 2):
         assert np.linalg.norm(res.a[i] - latents[pairs[i][0]]) < 0.5
         assert np.linalg.norm(res.b[i] - latents[pairs[i][1]]) < 0.5
+
+
+def test_entropy_init_matches_reference_blob():
+    """REAL-DATA entropy-init validation (round-2 verdict item 2b): build
+    the entropy-weighted graph from the committed ``model_seed12.pt``
+    decoders, run Dijkstra + least-squares fit on the committed init blob's
+    endpoints, and compare fitted curves against the reference's committed
+    entropy init (``splines_init_model_seed12/spline_batch_init_entropy_10.pt``,
+    built by upstream ``src/init_splines_ensemble.py:39-68``).
+
+    The reference's exact grid bbox depends on the full latent cloud (its
+    data file is missing upstream), so parity is geometric and
+    DISCRIMINATIVE: our entropy curves must sit close to the reference's
+    entropy curves (measured mean pointwise distance 0.097 over a ~3-unit
+    latent span) and clearly closer to them than (a) our euclidean init is,
+    and (b) the reference's euclidean init is — i.e. the entropy weighting
+    demonstrably reproduces the reference's path-bending, not just generic
+    shortest paths."""
+    import os
+
+    ckpt = "/root/reference/experiment/model_seed12.pt"
+    blob_dir = "/root/reference/experiment/splines_init_model_seed12"
+    if not os.path.exists(ckpt):
+        pytest.skip("reference artifacts not mounted")
+    import jax
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.config import InitConfig
+    from vae_latent_geometry_tpu.geometry.spline import (
+        design_matrix,
+        eval_spline_design,
+    )
+    from vae_latent_geometry_tpu.models.torch_import import (
+        load_evae_checkpoint,
+        load_spline_blob,
+    )
+    from vae_latent_geometry_tpu.pipeline.init_splines import initialize_splines
+
+    params = load_evae_checkpoint(ckpt)
+    blobs = {
+        init: load_spline_blob(
+            f"{blob_dir}/spline_batch_init_{init}_10.pt")["spline_data"]
+        for init in ("entropy", "euclidean")
+    }
+    d_ent = blobs["entropy"]
+    pts = {}
+    for x in d_ent:
+        pts[int(x["a_index"])] = np.asarray(x["a"])
+        pts[int(x["b_index"])] = np.asarray(x["b"])
+    idx_map = {k: i for i, k in enumerate(sorted(pts))}
+    latents = np.stack([pts[k] for k in sorted(pts)]).astype(np.float32)
+    pairs = [(idx_map[int(x["a_index"])], idx_map[int(x["b_index"])])
+             for x in d_ent]
+
+    def blob_curves(data, T=200):
+        t = jnp.linspace(0, 1, T)
+        phi = design_matrix(t, jnp.asarray(data[0]["basis"]), 4)
+        om = jnp.stack([jnp.asarray(x["omega_init"]) for x in data])
+        a = jnp.stack([jnp.asarray(x["a"]) for x in data])
+        b = jnp.stack([jnp.asarray(x["b"]) for x in data])
+        return np.asarray(eval_spline_design(om, a, b, phi, t))
+
+    ref_ent = blob_curves(d_ent)
+    ref_euc = blob_curves(blobs["euclidean"])
+
+    ours = {}
+    for use_ent in (True, False):
+        cfg = InitConfig(grid_points_per_axis=200, grid_margin=0.5,
+                         use_entropy=use_ent)
+        res = initialize_splines(latents, pairs, params.decoders, cfg)
+        assert res.valid.all()
+        t = jnp.linspace(0, 1, 200)
+        phi = design_matrix(t, jnp.asarray(res.basis), 4)
+        ours[use_ent] = np.asarray(eval_spline_design(
+            jnp.asarray(res.omega), jnp.asarray(res.a), jnp.asarray(res.b),
+            phi, t))
+
+    def mean_dist(x, y):
+        return float(np.linalg.norm(x - y, axis=-1).mean())
+
+    d_ee = mean_dist(ours[True], ref_ent)     # our entropy vs ref entropy
+    d_eu = mean_dist(ours[True], ref_euc)     # our entropy vs ref euclid
+    d_ue = mean_dist(ours[False], ref_ent)    # our euclid vs ref entropy
+    d_uu = mean_dist(ours[False], ref_euc)
+    # measured (2026-08-17): d_ee 0.097, d_eu 0.179, d_ue 0.226, d_uu 0.093
+    assert d_ee < 0.15, f"entropy-init curves too far from golden: {d_ee}"
+    assert d_ee < 0.75 * d_eu, (d_ee, d_eu)
+    assert d_ee < 0.75 * d_ue, (d_ee, d_ue)
+    assert d_uu < 0.15, f"euclidean-init curves too far from golden: {d_uu}"

@@ -120,3 +120,18 @@ def test_distance_heatmap(tmp_path):
     plotting.plot_distance_matrix(mat, [f"c{i}" for i in range(6)], str(out),
                                   "test")
     _check(out)
+
+
+def test_cov_hist(tmp_path):
+    out = tmp_path / "cov_hist.png"
+    vals = np.random.default_rng(1).normal(0.1, 0.05, 45).clip(0.001)
+    plotting.plot_cov_hist(vals, str(out))
+    _check(out)
+
+
+def test_density_illustration(tmp_path, art, latents):
+    out = tmp_path / "illustration.png"
+    colors = np.array(["#ff0000", "#00ff00"] * (len(latents) // 2))
+    plotting.plot_density_illustration(latents, art, str(out),
+                                       point_colors=colors, res=40, seed=12)
+    _check(out)

@@ -300,6 +300,12 @@ def cmd_eval(args):
 
             plotting.plot_cov_curves(
                 res, str(plot_dir / f"cov_plot_{args.pair_count}_alldec.png"))
+            # per-pair CoV histogram at the full ensemble size (reference
+            # artifact cov_hist_euclidean_10.png)
+            k_full = max(res.raw_cov_geodesic)
+            plotting.plot_cov_hist(
+                res.raw_cov_geodesic[k_full],
+                str(plot_dir / f"cov_hist_{args.pair_count}.png"))
         except Exception as ex:
             print(f"[warn] cov plot failed: {ex}")
 
@@ -331,6 +337,11 @@ def cmd_plot(args):
             plotting.plot_initial_and_optimized_splines(latents, art, out)
         else:
             plotting.plot_initialized_splines(latents, art, out)
+    elif args.kind == "illustration":
+        art = load_spline_batch(args.splines)
+        plotting.plot_density_illustration(
+            latents, art, out, point_colors=data.colors, labels=data.labels,
+            res=args.resolution)
     print(f"[ok] wrote {out}")
 
 
@@ -466,7 +477,7 @@ def build_parser() -> argparse.ArgumentParser:
     pl_ = sub.add_parser("plot", help="latent-space visualizations")
     add_common(pl_)
     pl_.add_argument("kind", choices=["density", "uncertainty", "latents",
-                                      "splines"])
+                                      "splines", "illustration"])
     pl_.add_argument("--model", required=True)
     pl_.add_argument("--splines", default=None)
     pl_.add_argument("--pairfile", default=None)

@@ -146,8 +146,11 @@ def _pad_indices_raw(d, trailing: int = 1):
 
 def _gen_draws_f32(seed_ref, c, S2, Tc, B, kmax_row):
     """This chunk's decoder draws: (S2, Tc, B) f32 integer values in
-    [0, kmax).  kmax_row: (1, 1, B) f32 per-lane upper bounds."""
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0), c)
+    [0, kmax).  kmax_row: (1, 1, B) f32 per-lane upper bounds.
+
+    Mosaic supports at most TWO seed values, so (batch-block, chunk) are
+    packed into one word (chunk counts are bounded by T/Tc <= 2^17 here)."""
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0) * (1 << 17) + c)
     bits = pltpu.prng_random_bits((S2, Tc, B))
     u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) \
         * (1.0 / (1 << 24))

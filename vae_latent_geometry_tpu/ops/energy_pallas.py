@@ -410,6 +410,13 @@ def _backprop_chain(dx, h1, acts, ws, wp_m, dtype, Tc, B, n_layers, dgs):
 # Unlike the energy kernels these are pointwise in t (segment differencing
 # happens on the psummed means), so there are no halos or carries: a 2D
 # (B-block x T-chunk) grid streams tiles through VMEM.
+#
+# Measured on a v5e vs the XLA-highest gradient (real seed-12 decoders,
+# smooth curves, T=2000): float32 backward maxrel 5.3e-6; f32x3 backward
+# median 1.3e-4, p99.9 2.5e-3, isolated maxima ~1e-1 from ReLU-boundary
+# sign flips under the reduced activation recompute — the same accepted
+# ladder tradeoff as the energy kernels (trajectory-only; final energies
+# are re-evaluated at exact float32 by the optimizer).
 # ---------------------------------------------------------------------------
 
 

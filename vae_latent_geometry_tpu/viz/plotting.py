@@ -269,6 +269,87 @@ def plot_cov_curves(cov_result, save_path: str) -> None:
     plt.savefig(save_path); plt.close(fig)
 
 
+def plot_cov_hist(cov_values, save_path: str,
+                  title: str = "Coefficient of Variation (CoV) Across Seeds",
+                  bins: int = 30) -> None:
+    """Per-pair CoV histogram with a KDE overlay (reference artifact
+    ``experiment/plots/cov_hist_euclidean_10.png`` — its producer code is
+    not committed upstream; this reconstructs the plot from the same
+    per-pair CoV values the cov analysis emits)."""
+    _ensure_dir(save_path)
+    vals = np.asarray(cov_values, float)
+    vals = vals[np.isfinite(vals)]
+    fig, ax = plt.subplots(figsize=(8, 5))
+    counts, edges, _ = ax.hist(vals, bins=bins, color="#9f95d8",
+                               edgecolor="black", alpha=0.85)
+    if len(vals) > 1 and np.std(vals) > 0:
+        from scipy.stats import gaussian_kde
+
+        xs = np.linspace(vals.min(), vals.max(), 200)
+        kde = gaussian_kde(vals)(xs)
+        # scale the density to histogram-count units
+        ax.plot(xs, kde * len(vals) * (edges[1] - edges[0]),
+                color="#7b68ce", lw=2.5)
+    ax.set_xlabel("CoV"); ax.set_ylabel("Frequency")
+    ax.set_title(title)
+    plt.tight_layout(); plt.savefig(save_path, dpi=300); plt.close(fig)
+
+
+def plot_density_illustration(latents, art, save_path: str,
+                              point_colors: Optional[np.ndarray] = None,
+                              labels: Optional[Sequence] = None,
+                              res: int = 300, seed=None, sigma: float = 0.3,
+                              eps: float = 1e-4,
+                              max_splines: int = 10) -> None:
+    """'Geodesics in Latent Space' illustration (reference
+    ``src/plots/density_illustration_examples{seed}.png``): copper
+    density-metric background, latents colored per class (hex colors when
+    given), init (dashed) / optimized (solid) geodesic overlays, colorbar
+    labeled with the density-based metric."""
+    _ensure_dir(save_path)
+    xlim, ylim = _square_limits(latents)
+    xi, yi = np.mgrid[xlim[0]:xlim[1]:res * 1j, ylim[0]:ylim[1]:res * 1j]
+    grid = np.stack([xi.ravel(), yi.ravel()], axis=-1).astype(np.float32)
+    density = kde_density(latents, grid, sigma)
+    log_metric = np.log1p(1.0 / (density + eps)).reshape(xi.shape)
+
+    fig, ax = plt.subplots(figsize=(10, 9))
+    im = ax.imshow(log_metric.T, origin="lower", extent=(*xlim, *ylim),
+                   cmap="copper", alpha=0.9)
+    if point_colors is not None:
+        ax.scatter(latents[:, 0], latents[:, 1], c=point_colors, s=4,
+                   alpha=0.5, linewidth=0.1, edgecolors="white")
+    elif labels is not None:
+        _, inv = np.unique(np.asarray(labels), return_inverse=True)
+        ax.scatter(latents[:, 0], latents[:, 1], c=inv, cmap="tab20", s=4,
+                   alpha=0.5, linewidth=0)
+    else:
+        ax.scatter(latents[:, 0], latents[:, 1], s=3, alpha=0.4, c="gray")
+
+    colors = cm.get_cmap("tab10", max(min(len(art.a), max_splines), 1))
+    for i in range(min(len(art.a), max_splines)):
+        if not art.valid[i]:
+            continue
+        color = colors(i)
+        z_init = _spline_points(art.omega_init[i], art.a[i], art.b[i],
+                                art.basis, art.n_poly)
+        ax.plot(z_init[:, 0], z_init[:, 1], "--", lw=2.0, alpha=0.8, c=color)
+        if art.omega_optimized is not None:
+            z_opt = _spline_points(art.omega_optimized[i], art.a[i],
+                                   art.b[i], art.basis, art.n_poly)
+            ax.plot(z_opt[:, 0], z_opt[:, 1], "-", lw=3.0, c=color)
+    ax.set_xlim(xlim); ax.set_ylim(ylim)
+    ax.set_aspect("equal", adjustable="box")
+    ax.set_xlabel("z$_1$"); ax.set_ylabel("z$_2$")
+    ax.set_title(f"Geodesics in Latent Space (seed {seed})")
+    divider = make_axes_locatable(ax)
+    cax = divider.append_axes("right", size="4%", pad=0.1)
+    fig.colorbar(im, cax=cax,
+                 label="Density-based metric value log(G$_x$)")
+    plt.savefig(save_path, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_distance_matrix(mat: np.ndarray, labels: Sequence[str],
                          save_path: str, title: str = "") -> None:
     _ensure_dir(save_path)
