@@ -150,6 +150,145 @@ def stage_full133_mc():
     _full133("mc", "mc_fused", "f32x3", False)
 
 
+def stage_golden_ensemble():
+    """Strict per-pair dominance for all four committed ensemble opt blobs
+    (seeds 12/123 x euclidean/entropy): 800 steps from the reference's own
+    omega_init at reference quadrature must end at expected energies <= the
+    stored solutions' on EVERY pair (the stored runs are 1000 under-converged
+    MC steps).  Complements the suite's 400-step agreement tests
+    (tests/test_optimize.py::test_golden_ensemble_all_blobs)."""
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
+    from vae_latent_geometry_tpu.geometry import energy as E
+    from vae_latent_geometry_tpu.geometry.spline import (
+        design_matrix,
+        eval_spline_design,
+    )
+    from vae_latent_geometry_tpu.models.torch_import import (
+        load_evae_checkpoint,
+        load_spline_blob,
+    )
+    from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
+
+    out = {}
+    for seed in (12, 123):
+        params = load_evae_checkpoint(f"{REF}/experiment/model_seed{seed}.pt")
+        for init in ("euclidean", "entropy"):
+            blob = load_spline_blob(
+                f"{REF}/experiment/splines_opt_model_seed{seed}/"
+                f"spline_batch_opt_{init}_10.pt")
+            d = blob["spline_data"]
+            a = jnp.stack([jnp.asarray(x["a"]) for x in d])
+            b = jnp.stack([jnp.asarray(x["b"]) for x in d])
+            stored = np.array([x["geodesic_length"] for x in d])
+            basis = np.asarray(d[0]["basis"])
+            om0 = jnp.stack([jnp.asarray(x["omega_init"]) for x in d])
+            t0 = time.perf_counter()
+            cfg = GeodesicConfig(steps=800, lr=1e-2,
+                                 energy=EnergyConfig(num_t=2000,
+                                                     mode="expected"))
+            res = optimize_splines(params.decoders, om0, a, b, basis, cfg)
+            t = jnp.linspace(0.0, 1.0, 2000)
+            phi = design_matrix(t, jnp.asarray(basis), 4)
+            gamma = eval_spline_design(res.omega, a, b, phi, t)
+            e_ours = np.asarray(E.energy_expected(params.decoders, gamma))
+            om_ref = jnp.stack([jnp.asarray(x["omega_optimized"])
+                                for x in d])
+            g_ref = eval_spline_design(om_ref, a, b, phi, t)
+            e_ref = np.asarray(E.energy_expected(params.decoders, g_ref))
+            lengths = np.sqrt(e_ours)
+            rel = np.abs(lengths - stored) / stored
+            key = f"seed{seed}_{init}"
+            out[key] = {
+                "n_pairs": len(d),
+                "worst_energy_ratio": float(np.max(e_ours / e_ref)),
+                "n_pairs_worse_than_ref": int(np.sum(e_ours > e_ref)),
+                "median_rel_length_vs_stored": float(np.median(rel)),
+                "pearson_r_lengths": float(np.corrcoef(lengths, stored)[0, 1]),
+                "wall_s": round(time.perf_counter() - t0, 1),
+            }
+            print(f"[golden_ensemble {key}] worst ratio "
+                  f"{out[key]['worst_energy_ratio']:.4f}, "
+                  f"med rel {out[key]['median_rel_length_vs_stored']:.4f}",
+                  flush=True)
+    out["config"] = {"steps": 800, "lr": 1e-2, "num_t": 2000,
+                     "mode": "expected",
+                     "init": "reference omega_init (Dijkstra+LBFGS)"}
+    _write("golden_ensemble_compare.json", out)
+
+
+def stage_full133_earlystop():
+    """Full 133x133 with batched early stopping (round-3 verdict item 5):
+    chunk-level convergence exit instead of the fixed 1000-step budget.
+    Asserts energy dominance against the committed fixed-run matrix."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.config import (
+        EnergyConfig,
+        GeodesicConfig,
+        InitConfig,
+    )
+    from vae_latent_geometry_tpu.data.tasic import load_tasic
+    from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
+    from vae_latent_geometry_tpu.pipeline.full_run import run_distance_pipeline
+
+    params = load_evae_checkpoint(f"{REF}/experiment/model_seed12.pt")
+    data = load_tasic()
+    t0 = time.perf_counter()
+    res = run_distance_pipeline(
+        params, data.x, data.labels, max_labels=133,
+        init_cfg=InitConfig(use_entropy=False),
+        geo_cfg=GeodesicConfig(
+            steps=1000, batch_size=200, early_stop=True,
+            patience=100, delta=1e-6,
+            energy=EnergyConfig(num_t=2000, mode="expected_fused",
+                                kernel_precision=BULK_PREC)),
+        verbose=False,
+    )
+    wall = time.perf_counter() - t0
+
+    fixed_path = os.path.join(OUT, "plots",
+                              "geodesic_matrix_seed12_euclidean_133.json")
+    cmp = None
+    if os.path.exists(fixed_path):
+        fixed = json.load(open(fixed_path))
+        fm = np.asarray(fixed["distance_matrix"], float)
+        labels_f = list(fixed["cluster_ids"])
+        if labels_f == list(res.labels):
+            iu = np.triu_indices(len(labels_f), k=1)
+            es, fx = res.matrix[iu], fm[iu]
+            ok = np.isfinite(es) & np.isfinite(fx)
+            rel = np.abs(es[ok] - fx[ok]) / np.maximum(fx[ok], 1e-12)
+            # lengths = sqrt(energy): dominance in energy <=> in length
+            worse = float(np.max(es[ok] / np.maximum(fx[ok], 1e-12)))
+            cmp = {"n_common": int(ok.sum()),
+                   "median_rel_vs_fixed": float(np.median(rel)),
+                   "p99_rel_vs_fixed": float(np.quantile(rel, 0.99)),
+                   "max_len_ratio_vs_fixed": worse}
+            print(f"[full133 earlystop] vs fixed: med rel "
+                  f"{cmp['median_rel_vs_fixed']:.2e}, worst ratio "
+                  f"{worse:.4f}", flush=True)
+    _write("full133_earlystop_timing.json", {
+        "note": "batched early stopping (patience=100, delta=1e-6, "
+                "best-restore, exact-f32 final re-evaluation); timing "
+                "excludes one-time tunnel warmup",
+        "workload": "133 classes, 8778 pairs, 10 decoders, <=1000 steps/pair "
+                    f"early-stopped, T=2000, expected_fused@{BULK_PREC}, "
+                    "single v5e chip",
+        "wall_clock_seconds": round(wall, 1),
+        "stage_timings": {k: round(v, 2) for k, v in res.timings.items()},
+        "pairs_valid": int(res.artifact.valid.sum()),
+        "fixed_run_comparison": cmp,
+        "data": "synthetic surrogate (tasic-pca50.npy missing upstream) + "
+                "reference model_seed12.pt",
+    })
+    print(f"[full133 earlystop] {wall:.0f}s "
+          f"(opt {res.timings['optimize']:.0f}s)", flush=True)
+
+
 def stage_cov():
     from vae_latent_geometry_tpu.data.tasic import load_tasic
     from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
@@ -208,6 +347,8 @@ STAGES = {
     "full133": stage_full133,
     "full133_entropy": stage_full133_entropy,
     "full133_mc": stage_full133_mc,
+    "full133_earlystop": stage_full133_earlystop,
+    "golden_ensemble": stage_golden_ensemble,
     "cov": stage_cov,
     "train": stage_train,
 }

@@ -672,8 +672,12 @@ def _common(decoders, gamma):
     B_pad = _round_up(B, 8)
     Bb = _pick_bb(B_pad, _MAX_BB_MC)
     B_pad = _round_up(B_pad, Bb)
-    # Tc >= 16 keeps offset value-slices at >= 8 sublanes (Mosaic limit)
-    Tc = _pick_chunk(T, Bb, target_rows=4096)
+    # Tc >= 16 keeps offset value-slices at >= 8 sublanes (Mosaic limit).
+    # target_rows 2048 (not 4096): the MC backward's per-decoder multi-pass
+    # temporaries at float32 overflow the scoped-VMEM stack at 4096-row
+    # chunks (measured at T=256, B=16 -> Tc=T); every tuned configuration
+    # (T=2000) already lands on 2048-row chunks.
+    Tc = _pick_chunk(T, Bb, target_rows=2048)
     return T, B, B_pad, Bb, D, X, M, Tc, ws, bs
 
 
