@@ -53,7 +53,8 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
-def bench_jax(mode: str = "mc", kernel_precision: str = "f32x3") -> float:
+def bench_jax(mode: str = "mc", kernel_precision: str = "f32x3",
+              inkernel_rng: bool = True) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -79,7 +80,8 @@ def bench_jax(mode: str = "mc", kernel_precision: str = "f32x3") -> float:
     cfg = GeodesicConfig(
         steps=STEPS_MEASURE, lr=1e-3,
         energy=EnergyConfig(num_t=T, mode=mode, mc_samples=MC,
-                            kernel_precision=kernel_precision),
+                            kernel_precision=kernel_precision,
+                            mc_inkernel_rng=inkernel_rng),
     )
     args = (decoders, jnp.asarray(omega), jnp.asarray(a), jnp.asarray(b),
             jnp.asarray(basis), jax.random.PRNGKey(0), cfg)
@@ -313,13 +315,19 @@ def main():
     # last-resort stand-in (the reference publishes no speed numbers and
     # this image has no CUDA — BASELINE.md).
     ladder = {}
-    for mode, prec in (("mc_fused", "f32x3"), ("mc_fused", "f32x2"),
-                       ("expected_fused", "f32x3"),
-                       ("expected_fused", "f32x2"),
-                       ("mc_fused", "float32"), ("mc", "float32")):
-        name = mode if prec == "f32x3" else f"{mode}_{prec}"
+    # (name, mode, precision, in-kernel PRNG).  mc_fused draws decoder
+    # indices with the TPU hardware PRNG inside the kernels; the _extidx
+    # rung keeps the host-generated index planes for an A/B of that change.
+    for name, mode, prec, rng_flag in (
+            ("mc_fused", "mc_fused", "f32x3", True),
+            ("mc_fused_f32x2", "mc_fused", "f32x2", True),
+            ("mc_fused_extidx", "mc_fused", "f32x3", False),
+            ("expected_fused", "expected_fused", "f32x3", True),
+            ("expected_fused_f32x2", "expected_fused", "f32x2", True),
+            ("mc_fused_float32", "mc_fused", "float32", True),
+            ("mc_float32", "mc", "float32", True)):
         try:
-            ladder[name] = round(bench_jax(mode, prec), 3)
+            ladder[name] = round(bench_jax(mode, prec, rng_flag), 3)
         except Exception as ex:
             print(f"[bench] mode {name} failed ({type(ex).__name__}: {ex})",
                   file=sys.stderr)

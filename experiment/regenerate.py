@@ -218,6 +218,73 @@ def stage_golden_ensemble():
     _write("golden_ensemble_compare.json", out)
 
 
+def stage_dscale():
+    """The decoder-sigma=0.1 variant (reference ``experiment_dscale_0.1/``,
+    which ships only trained models + plots; sigma is hard-coded upstream at
+    src/train.py:46, config-reachable here via ModelConfig.decoder_sigma):
+    reproduce the latent plot and run a 10-rep geodesic matrix on the REAL
+    committed dscale model — demonstrating the config axis end to end.
+    Note the decoder observation sigma affects training only; the pullback
+    geometry uses decoder means, so the variant's geometry differs through
+    its differently-trained weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.config import (
+        EnergyConfig,
+        GeodesicConfig,
+        InitConfig,
+    )
+    from vae_latent_geometry_tpu.data.tasic import load_tasic
+    from vae_latent_geometry_tpu.models import evae as evae_lib
+    from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
+    from vae_latent_geometry_tpu.pipeline.full_run import run_distance_pipeline
+    from vae_latent_geometry_tpu.viz import plotting
+
+    ckpt = f"{REF}/experiment_dscale_0.1/model_seed12.pt"
+    params = load_evae_checkpoint(ckpt)
+    data = load_tasic()
+    lat = np.asarray(jax.jit(
+        lambda p, x: evae_lib.encode(p, x)[0])(params, jnp.asarray(data.x)))
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    ax.scatter(lat[:, 0], lat[:, 1], s=2,
+               c=data.colors if data.colors is not None else "k", alpha=0.5)
+    ax.set_title("Latents, decoder sigma=0.1 model (seed 12)")
+    ax.set_aspect("equal")
+    plt.tight_layout()
+    plt.savefig(os.path.join(OUT, "plots", "dscale01_latent_seed12.png"),
+                dpi=200)
+    plt.close(fig)
+
+    t0 = time.perf_counter()
+    res = run_distance_pipeline(
+        params, data.x, data.labels, max_labels=10,
+        init_cfg=InitConfig(use_entropy=False),
+        geo_cfg=GeodesicConfig(
+            steps=1000, batch_size=200,
+            energy=EnergyConfig(num_t=2000, mode="expected_fused",
+                                kernel_precision=BULK_PREC)),
+        verbose=False,
+    )
+    wall = time.perf_counter() - t0
+    _write("dscale01_seed12_result.json", {
+        "model": "reference experiment_dscale_0.1/model_seed12.pt "
+                 "(decoder sigma=0.1 variant)",
+        "workload": "10 reps / 45 pairs, 1000 steps, T=2000, "
+                    f"expected_fused@{BULK_PREC}",
+        "wall_clock_seconds": round(wall, 1),
+        "cluster_ids": list(res.labels),
+        "distance_matrix": res.matrix.tolist(),
+        "latent_std": [float(s) for s in lat.std(axis=0)],
+        "data": "synthetic surrogate (upstream pca50 missing)",
+    })
+    print(f"[dscale] {wall:.0f}s, latent std {lat.std(axis=0)}", flush=True)
+
+
 def stage_full133_earlystop():
     """Full 133x133 with batched early stopping (round-3 verdict item 5):
     chunk-level convergence exit instead of the fixed 1000-step budget.
@@ -349,6 +416,7 @@ STAGES = {
     "full133_mc": stage_full133_mc,
     "full133_earlystop": stage_full133_earlystop,
     "golden_ensemble": stage_golden_ensemble,
+    "dscale": stage_dscale,
     "cov": stage_cov,
     "train": stage_train,
 }

@@ -105,3 +105,50 @@ def test_single_vae_decoder_parity(rng):
     np.testing.assert_allclose(
         np.asarray(log_std), np.clip(ref_logstd_raw, -2.0, 2.0), atol=2e-5, rtol=1e-5
     )
+
+
+def test_legacy_heteroscedastic_evae():
+    """Legacy ensemble family (reference src/single_decoder/vae.py:72-113):
+    independently-initialized heteroscedastic decoders, one random decoder
+    per elbo/sample call, decoders[0] alias for single-decoder code."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.models import vae as vae_lib
+
+    cfg = vae_lib.LEGACY_CONFIG
+    params = vae_lib.legacy_evae_init(jax.random.PRNGKey(0), cfg,
+                                      num_decoders=3)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, cfg.input_dim)),
+                    jnp.float32)
+    # decoders are independently initialized (NOT deepcopies)
+    w0 = params.decoders["layers"][0]["w"]
+    assert not np.allclose(np.asarray(w0[0]), np.asarray(w0[1]))
+
+    # fixed-decoder elbo is deterministic and differs across decoders
+    e0 = float(vae_lib.legacy_evae_elbo(params, jax.random.PRNGKey(1), x,
+                                        decoder_idx=0))
+    e1 = float(vae_lib.legacy_evae_elbo(params, jax.random.PRNGKey(1), x,
+                                        decoder_idx=1))
+    assert np.isfinite(e0) and np.isfinite(e1) and e0 != e1
+
+    # decoder_idx=None draws a random decoder: over keys it hits multiple
+    vals = {round(float(vae_lib.legacy_evae_elbo(
+        params, jax.random.PRNGKey(k), x)), 6) for k in range(12)}
+    assert len(vals) > 1
+
+    # the decoders[0] alias equals the single-VAE elbo with that decoder
+    vp = vae_lib.VAEParams(encoder=params.encoder,
+                           decoder=vae_lib.legacy_decoder(params))
+    zkey = jax.random.split(jax.random.PRNGKey(1))[0]
+    e_alias = float(vae_lib.elbo(vp, zkey, x))
+    e_fixed = float(vae_lib.legacy_evae_elbo(params, jax.random.PRNGKey(1),
+                                             x, decoder_idx=0))
+    assert np.isclose(e_alias, e_fixed, rtol=1e-6)
+
+    s = vae_lib.legacy_evae_sample(params, jax.random.PRNGKey(2), n=5)
+    assert s.shape == (5, cfg.input_dim) and np.isfinite(np.asarray(s)).all()
+
+    # jits cleanly (random decoder selection is trace-safe)
+    f = jax.jit(lambda p, k, x: vae_lib.legacy_evae_elbo(p, k, x))
+    assert np.isfinite(float(f(params, jax.random.PRNGKey(3), x)))

@@ -111,9 +111,15 @@ def fit_spline_lstsq(paths, mask, a, b, phi, t, ridge: float = 0.0):
 
     Fits omega so that the spline matches a (padded, masked) target path at
     the given t values, in the least-squares sense.  Because the spline is
-    linear in omega this is the *exact* minimizer of the MSE objective the
-    reference optimizes with 50 LBFGS iterations
-    (``src/init_splines_ensemble.py:183-192``).
+    linear in omega this solves the MSE objective the reference optimizes
+    with 50 LBFGS iterations (``src/init_splines_ensemble.py:183-192``) in
+    one step.  Precisely: it is the RIDGE-least-squares solution with an
+    unconditional 1e-6-of-mean-trace floor on the normal equations — i.e.
+    the exact minimizer up to a ~1e-6 relative perturbation on well-posed
+    systems (verified in tests/test_spline.py), chosen over an exact solve
+    so degenerate systems (two-point paths, where the Gram matrix is
+    exactly singular) return the minimum-norm omega=0 instead of NaN with
+    no data-dependent branching under jit.
 
     paths: (B, P, D) padded target points;  mask: (B, P) validity (float/bool)
     a, b: (B, D) endpoints;  phi: (B, P, K) or (P, K);  t: (B, P) or (P,)

@@ -85,6 +85,74 @@ def sample(params: VAEParams, key, n: int = 1, cfg: ModelConfig = LEGACY_CONFIG)
     return mean
 
 
+# ---------------------------------------------------------------------------
+# Legacy heteroscedastic ENSEMBLE (reference src/single_decoder/vae.py:72-113):
+# shared clamped encoder + independently-initialized heteroscedastic decoders
+# (NOT deepcopies — contrast with the current family's deepcopy at upstream
+# src/train.py:53), one random decoder per elbo/sample call, and a
+# ``decoder = decoders[0]`` alias for single-decoder code paths.
+# ---------------------------------------------------------------------------
+
+
+class LegacyEVAEParams(NamedTuple):
+    encoder: dict
+    decoders: dict    # stacked heteroscedastic decoder pytree (leading M axis)
+
+
+def legacy_evae_init(key, cfg: ModelConfig = LEGACY_CONFIG,
+                     num_decoders: int = 3) -> LegacyEVAEParams:
+    from vae_latent_geometry_tpu.models.evae import stack_decoders
+
+    ek, dk = jax.random.split(key)
+    decs = [nets.decoder_init(k, cfg.latent_dim, cfg.input_dim,
+                              tuple(cfg.decoder_hidden), heteroscedastic=True)
+            for k in jax.random.split(dk, num_decoders)]
+    return LegacyEVAEParams(
+        encoder=nets.encoder_init(ek, cfg.input_dim, cfg.latent_dim,
+                                  tuple(cfg.encoder_hidden),
+                                  use_layernorm=False),
+        decoders=stack_decoders(decs),
+    )
+
+
+def _select_decoder(decoders, idx):
+    """Dynamic index into the stacked ensemble (one decoder pytree)."""
+    return jax.tree_util.tree_map(lambda x: x[idx], decoders)
+
+
+def legacy_decoder(params: LegacyEVAEParams):
+    """The reference's ``self.decoder = self.decoders[0]`` alias
+    (upstream ``src/single_decoder/vae.py:83``)."""
+    return _select_decoder(params.decoders, 0)
+
+
+def legacy_evae_elbo(params: LegacyEVAEParams, key, x, beta: float = 1.0,
+                     decoder_idx=None, cfg: ModelConfig = LEGACY_CONFIG,
+                     return_parts: bool = False):
+    """Ensemble ELBO with one randomly-drawn heteroscedastic decoder per
+    call (reference ``src/single_decoder/vae.py:87-102``)."""
+    m = jax.tree_util.tree_leaves(params.decoders)[0].shape[0]
+    zkey, dkey = jax.random.split(key)
+    idx = (jax.random.randint(dkey, (), 0, m)
+           if decoder_idx is None else jnp.asarray(decoder_idx))
+    dec = _select_decoder(params.decoders, idx)
+    vp = VAEParams(encoder=params.encoder, decoder=dec)
+    return elbo(vp, zkey, x, beta, cfg, return_parts)
+
+
+def legacy_evae_sample(params: LegacyEVAEParams, key, n: int = 1,
+                       decoder_idx=None, cfg: ModelConfig = LEGACY_CONFIG):
+    """Prior samples through one (randomly-drawn) decoder's mean head
+    (reference ``src/single_decoder/vae.py:107-113``)."""
+    m = jax.tree_util.tree_leaves(params.decoders)[0].shape[0]
+    zkey, dkey = jax.random.split(key)
+    idx = (jax.random.randint(dkey, (), 0, m)
+           if decoder_idx is None else jnp.asarray(decoder_idx))
+    z = jax.random.normal(zkey, (n, cfg.latent_dim))
+    mean, _ = decode(_select_decoder(params.decoders, idx), z, cfg)
+    return mean
+
+
 def mean_decoder(decoder_params):
     """Slice a heteroscedastic decoder down to its mean head.
 
