@@ -149,6 +149,15 @@ def numerics_check(decoders) -> dict:
             energy_expected_fused(decoders, g, None, "float32"))
     except Exception as ex:  # pragma: no cover
         out["fused_expected"] = f"failed: {type(ex).__name__}"
+    try:
+        from vae_latent_geometry_tpu.ops.energy_pallas_t import (
+            energy_expected_fused_t,
+        )
+
+        out["fused_expected_t"] = medrel(
+            energy_expected_fused_t(decoders, g, "float32"))
+    except Exception as ex:  # pragma: no cover
+        out["fused_expected_t"] = f"failed: {type(ex).__name__}"
     return out
 
 

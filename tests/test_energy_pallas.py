@@ -305,3 +305,60 @@ def test_mc_fused_rng_zero_draw_plumbing(rng):
     gr0 = jax.grad(lambda g: jnp.sum(w * E.energy_single(dec0, g)))(g)
     np.testing.assert_allclose(np.asarray(gr), np.asarray(gr0),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_transposed_kernel_matches_expected(rng):
+    """Transposed-layout (lane-fused points) expected-energy kernel equals
+    the XLA expected energy in forward and gradient, across chunk carries
+    (multi T-chunk) and batch blocks (B > 256)."""
+    from vae_latent_geometry_tpu.geometry import energy as E
+    from vae_latent_geometry_tpu.ops.energy_pallas_t import (
+        energy_expected_fused_t,
+        fused_t_fits,
+    )
+
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 50, (128, 128))
+        for k in jax.random.split(jax.random.PRNGKey(0), 4)
+    ])
+    for T, B in ((32, 6), (64, 300)):
+        assert fused_t_fits(T, B, 2, 50, 4)
+        g = jnp.asarray(rng.normal(size=(T, B, 2)) * 1.5, jnp.float32)
+        e_ref = np.asarray(E.energy_expected(decs, g))
+        e_t = np.asarray(energy_expected_fused_t(decs, g, "float32"))
+        np.testing.assert_allclose(e_t, e_ref, rtol=1e-5)
+        w = jnp.asarray(np.linspace(0.5, 2.0, B), jnp.float32)
+        gr_ref = jax.grad(
+            lambda g: jnp.sum(w * E.energy_expected(decs, g)))(g)
+        gr_t = jax.grad(lambda g: jnp.sum(
+            w * energy_expected_fused_t(decs, g, "float32")))(g)
+        np.testing.assert_allclose(np.asarray(gr_t), np.asarray(gr_ref),
+                                   rtol=1e-3, atol=1e-5)
+    # shape guard: non-3-layer decoders and num_active fall back
+    assert not fused_t_fits(32, 6, 2, 50, 4, n_layers=2)
+    assert not fused_t_fits(32, 6, 2, 50, 4, num_active=np.array([1]))
+
+
+def test_transposed_kernel_in_optimizer(rng):
+    """expected_fused mode dispatches to the transposed kernel for 3-layer
+    decoders and optimizes correctly."""
+    from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
+
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 50, (128, 128))
+        for k in jax.random.split(jax.random.PRNGKey(3), 3)
+    ])
+    B = 4
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    basis, _ = nullspace_basis(4)
+    res = optimize_splines(
+        decs, jnp.zeros((B, 5, 2)), a, b, basis,
+        GeodesicConfig(steps=20, lr=1e-2,
+                       energy=EnergyConfig(num_t=32, mode="expected_fused")),
+        record_history=True)
+    hist = np.asarray(res.energy_history)
+    assert np.isfinite(hist).all()
+    assert hist[-1].mean() < hist[0].mean()

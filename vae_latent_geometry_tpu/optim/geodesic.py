@@ -156,11 +156,22 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
         if not fused_fits(T, B, D, X, m_dec, mc=False):
             _warn_fallback(mode, T, B, D, X, m_dec)
             return energy_lib.energy_expected(decoders, gamma, num_active)
+        precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
+        # transposed-layout kernel when the shape allows it (uniform
+        # weights, 3-layer decoder): ~0.75x the MXU work of the
+        # feature-on-lanes layout (ops/energy_pallas_t.py)
+        from vae_latent_geometry_tpu.ops.energy_pallas_t import (
+            energy_expected_fused_t,
+            fused_t_fits,
+        )
+
+        n_layers = len(decoders["layers"])
+        if fused_t_fits(T, B, D, X, m_dec, num_active, None, n_layers):
+            return energy_expected_fused_t(decoders, gamma, precision)
         # per-spline first-k-decoder subsets (the CoV sweep) become a
         # masked-mean weight plane streamed into the kernel
         wmb = (active_weights(num_active, m_dec, B)
                if num_active is not None else None)
-        precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
         return energy_expected_fused(decoders, gamma, wmb, precision)
     if mode == "jvp":
         return energy_lib.energy_jvp(decoders, gamma, gamma_dot)
