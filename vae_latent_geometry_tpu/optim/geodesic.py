@@ -82,6 +82,14 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
             _warn_fallback(mode, T, B, D, X, 1)
             return energy_lib.energy_single(decoders, gamma)
         precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
+        from vae_latent_geometry_tpu.ops.energy_pallas_t import (
+            energy_expected_fused_t,
+            fused_t_fits,
+        )
+
+        if fused_t_fits(T, B, D, X, 1,
+                        n_layers=len(decoders["layers"])):
+            return energy_expected_fused_t(stacked, gamma, precision)
         return energy_expected_fused(stacked, gamma, None, precision)
     if mode == "mc":
         return energy_lib.energy_mc(decoders, gamma, key, mc_samples,
