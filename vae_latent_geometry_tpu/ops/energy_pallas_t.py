@@ -1,30 +1,36 @@
-"""Transposed-layout fused expected-energy kernels (lane-fused points).
+"""Transposed-layout fused expected-energy kernels — a VALIDATED NEGATIVE
+RESULT, kept for the record (not dispatched by the optimizer).
 
-The kernels in ``energy_pallas`` put the (t, b) points on the SUBLANE axis
-and the decoder features on the LANE axis.  That wastes the MXU on the last
-decoder layer: its 50 output features pad to a full 128-lane tile, so ~30%
-of all issued MXU work multiplies padding (measured: mfu_mxu 0.79-0.83 vs
-mfu_model 0.25-0.34 in BENCH_r03).
+Hypothesis: the production kernels put (t, b) points on sublanes and
+features on lanes, so the last layer's 50 output features pad to a full
+128-lane MXU tile — ~30% of issued MXU work multiplies padding (BENCH_r03:
+mfu_mxu 0.79-0.83 vs mfu_model 0.25-0.34).  Transposing (features on
+sublanes, fused point index l = t*B + b on lanes) makes output features
+quantize at 8-row granularity: nominally 0.72x the forward MXU work, with
+free extras (adjacent-t differencing = an exact lane shift by B; per-point
+reductions = one-row MXU contractions).
 
-Here the layout is TRANSPOSED: features live on sublanes, and the fused
-point index l = t*B + b lives on lanes.  Output-feature dimensions then
-quantize at the 8-row sublane granularity instead of 128 lanes:
+Measured on a v5e (identical fwd+bwd scan harness, T=2000 B=200 M=10,
+weights pre-split on host, Tc tuned):
 
-    layer          untransposed cost      transposed cost   (cycles/chunk
-    128 -> 128     L/8                    L/8                per decoder,
-    128 -> 50      L/8  (50 pads to 128)  56*L/(128*8)       L = Tc*B)
+    rung     feature-on-lanes   transposed
+    f32x2    82.8 it/s          58.3 it/s     (-30%)
+    f32x3    61.0 it/s          46.9 it/s     (-23%)
 
-i.e. the last layer gets 2.3x cheaper and a full forward drops to 0.72x the
-MXU work.  Further layout wins come for free: adjacent-t differencing is a
-lane shift by B (exact), and the per-(t,b) reductions become tiny one-row
-MXU contractions instead of sublane-laundered VPU reductions.
+Why the cost model failed: the MXU is weights-stationary — a dot streams
+its ROW dimension through a resident 128x128 weight tile.  The transposed
+layout puts the long dimension (thousands of points) on LANES, forcing a
+weight-tile change every 128 lanes with only 56-128 rows streamed between
+changes; fill/drain overhead eats the padding win.  The feature-on-lanes
+layout streams thousands of rows through ONE resident tile per layer.
+Lesson recorded in docs/PERFORMANCE.md: on TPU, put the big dimension on
+rows; lane padding of a small output dimension is the lesser evil.
 
-Same math as ``energy_expected_fused`` (centered sufficient statistics,
-cancellation-free; see energy_pallas.py and docs/NUMERICS.md), same
-precision-ladder rungs.  Scope: uniform ensemble weights (the production
-full-matrix path); per-spline ``num_active`` subsets use the untransposed
-kernel.  The batch is gridded into 256-wide blocks (lane shifts must be
-128-aligned), T is gridded into chunks with a one-step lane carry.
+The kernels are correct (tested vs XLA in fwd and grad, incl. chunk carries
+and B > 256 blocks; float32 forward bit-exact on hardware) and exercise
+useful Mosaic patterns: 2-D grid with cross-step scratch carries, a
+one-chunk pipeline delay in the backward (each chunk needs its right
+neighbor's means), and host-side weight splitting.
 """
 
 from __future__ import annotations
@@ -55,12 +61,19 @@ _BB = 256          # lane-block width for the batch axis (lane shifts by B
 #                    must be 128-aligned; 256 = the reference B=200 padded)
 
 
-def _prep_wT(w, prec):
-    """(w_main, w_lo) pair for a pre-transposed weight."""
+def _prep_wT_host(w, prec):
+    """(w_main, w_lo) pair for a pre-transposed weight, computed ON HOST /
+    in XLA once per call — the kernels run once per (B-block, T-chunk) grid
+    step, so in-kernel splitting would repeat per chunk (measured: the
+    first transposed build lost ~35% steps/s to exactly that)."""
     if prec == "float32":
         return (w, None)
     hi, lo = _split_hi_lo(w)
-    return (hi, lo) if prec == "f32x3" else (hi, None)
+    if prec == "f32x3":
+        return (hi, lo)
+    return (hi, jnp.zeros_like(lo))      # f32x2/bf16: lo unused but shipped
+#                                          (static arg shapes keep one kernel
+#                                          signature across rungs)
 
 
 def _mp_dot_T(wpair, h, prec):
@@ -97,15 +110,21 @@ def _decode_T(g_rows, m, w1T, b1T, w2T_p, b2T, w3T_p, b3T, prec):
     return _mp_dot_T(w3T_p[m], h, prec) + b3T[m]
 
 
+def _pairs_from(a_ref, b_ref, M, dtype):
+    """Reassemble the host-pre-split (main, lo) weight pairs per decoder."""
+    return [(a_ref[m], b_ref[m] if dtype == "f32x3" else None)
+            for m in range(M)]
+
+
 def _fwd_kernel_T(*refs, D, Xp, M, B, Tc, dtype, n_t_chunks):
     gT_ref = refs[0]                      # (1, 8, Tc*B) block
     w1T_ref, b1T_ref = refs[1], refs[2]   # (M, H1, 8), (M, H1, 1)
-    w2T_ref, b2T_ref = refs[3], refs[4]   # (M, H2, H1), (M, H2, 1)
-    w3T_ref, b3T_ref = refs[5], refs[6]   # (M, Xp, H2), (M, Xp, 1)
-    out_ref = refs[7]                     # (1, 8, B)
-    xext = refs[8]                        # (Xp, B + Tc*B) scratch
-    vext = refs[9]                        # (8, B + Tc*B) scratch
-    acc = refs[10]                        # (8, Tc*B) scratch
+    w2a_ref, w2b_ref, b2T_ref = refs[3], refs[4], refs[5]
+    w3a_ref, w3b_ref, b3T_ref = refs[6], refs[7], refs[8]
+    out_ref = refs[9]                     # (1, 8, B)
+    xext = refs[10]                       # (Xp, B + Tc*B) scratch
+    vext = refs[11]                       # (8, B + Tc*B) scratch
+    acc = refs[12]                        # (8, Tc*B) scratch
 
     j = pl.program_id(1)
     L = Tc * B
@@ -114,8 +133,8 @@ def _fwd_kernel_T(*refs, D, Xp, M, B, Tc, dtype, n_t_chunks):
     b1T = b1T_ref[:]
     b2T = b2T_ref[:]
     b3T = b3T_ref[:]
-    w2T_p = [_prep_wT(w2T_ref[m], dtype) for m in range(M)]
-    w3T_p = [_prep_wT(w3T_ref[m], dtype) for m in range(M)]
+    w2T_p = _pairs_from(w2a_ref, w2b_ref, M, dtype)
+    w3T_p = _pairs_from(w3a_ref, w3b_ref, M, dtype)
 
     @pl.when(j == 0)
     def _init():
@@ -180,17 +199,17 @@ def _bwd_kernel_T(*refs, D, Xp, M, B, Tc, dtype, n_t_chunks):
     ct_ref = refs[1]                      # (1, 8, B) cotangents (row 0)
     w1_ref = refs[2]                      # (M, 8, H1)  rows 0..D-1 real
     w1T_ref, b1T_ref = refs[3], refs[4]
-    w2T_ref, b2T_ref = refs[5], refs[6]
-    w3T_ref, b3T_ref = refs[7], refs[8]
-    w2_ref = refs[9]                      # (M, H1, H2) untransposed
-    w3_ref = refs[10]                     # (M, H2, Xp) untransposed
-    dg_ref = refs[11]                     # (1, 8, Tc*B) out block (chunk j-1)
-    xs = refs[12]                         # (M, Xp, Tc*B) scratch: chunk j-1 decodes
-    xs_cur = refs[13]                     # (M, Xp, Tc*B) scratch: chunk j decodes
-    xbar_prev = refs[14]                  # (Xp, Tc*B)
-    xbar_cur = refs[15]                   # (Xp, Tc*B)
-    left_carry = refs[16]                 # (Xp, B): last B lanes of chunk j-2's xbar
-    g_prev = refs[17]                     # (8, Tc*B): chunk j-1's curve rows
+    w2a_ref, w2b_ref, b2T_ref = refs[5], refs[6], refs[7]
+    w3a_ref, w3b_ref, b3T_ref = refs[8], refs[9], refs[10]
+    w2_ref = refs[11]                     # (M, H1, H2) untransposed (chain)
+    w3_ref = refs[12]                     # (M, H2, Xp) untransposed (chain)
+    dg_ref = refs[13]                     # (1, 8, Tc*B) out block (chunk j-1)
+    xs = refs[14]                         # (M, Xp, Tc*B) scratch: chunk j-1 decodes
+    xs_cur = refs[15]                     # (M, Xp, Tc*B) scratch: chunk j decodes
+    xbar_prev = refs[16]                  # (Xp, Tc*B)
+    xbar_cur = refs[17]                   # (Xp, Tc*B)
+    left_carry = refs[18]                 # (Xp, B): last B lanes of chunk j-2's xbar
+    g_prev = refs[19]                     # (8, Tc*B): chunk j-1's curve rows
 
     j = pl.program_id(1)
     L = Tc * B
@@ -198,11 +217,11 @@ def _bwd_kernel_T(*refs, D, Xp, M, B, Tc, dtype, n_t_chunks):
     b1T = b1T_ref[:]
     b2T = b2T_ref[:]
     b3T = b3T_ref[:]
-    w2T_p = [_prep_wT(w2T_ref[m], dtype) for m in range(M)]
-    w3T_p = [_prep_wT(w3T_ref[m], dtype) for m in range(M)]
+    w2T_p = _pairs_from(w2a_ref, w2b_ref, M, dtype)
+    w3T_p = _pairs_from(w3a_ref, w3b_ref, M, dtype)
     chain_prec = "bfloat16" if dtype in ("f32x3", "f32x2") else dtype
-    w2_p = [_prep_wT(w2_ref[m], chain_prec) for m in range(M)]
-    w3_p = [_prep_wT(w3_ref[m], chain_prec) for m in range(M)]
+    w2_p = [(w2_ref[m], None) for m in range(M)]
+    w3_p = [(w3_ref[m], None) for m in range(M)]
 
     @pl.when(j == 0)
     def _init():
@@ -324,14 +343,31 @@ def _prep_inputs(decoders, gamma, Bb):
             (w1, w1T, b1T, w2, w2T, b2T, w3, w3T, b3T))
 
 
-def _pick_tc(T: int, Bb: int, target_rows: int = 2048) -> int:
+def _pick_tc(T: int, Bb: int, target_lanes: int = 10240) -> int:
+    """Largest aligned divisor chunk with Tc*Bb lanes under the target.
+
+    Large chunks matter much more here than in the feature-on-lanes kernels:
+    every T-chunk is a separate grid step (weights stay VMEM-cached but all
+    per-step overheads repeat), and the MXU dots want long lane dimensions.
+    Measured at the bench shape: Tc=8 (250 steps) ran at 0.65x the speed of
+    Tc=40 (50 steps)."""
     best, best_aligned = 1, 0
     for tc in range(1, T + 1):
-        if T % tc == 0 and tc * Bb <= target_rows:
+        if T % tc == 0 and tc * Bb <= target_lanes:
             best = tc
             if tc % 8 == 0:
                 best_aligned = tc
     return best_aligned or best
+
+
+def _bwd_target_lanes(M: int, Xp: int) -> int:
+    """Lane budget for the backward: two (M, Xp, L) decode buffers + means
+    + the unrolled-chain transients.  Calibrated from a measured compile:
+    108.3 MB scoped VMEM at (M=10, Xp=56, L=10240) -> ~2650 f32/lane, of
+    which ~1700/lane are chain transients (h1/h2 + hi/lo splits + dx/dh).
+    Budget 72 MB leaves margin under the 100 MB scoped limit."""
+    per_lane_f32 = 2 * M * Xp + 4 * Xp + 1700
+    return max(_BB, min(10240, (72 * 1024 * 1024) // (4 * per_lane_f32)))
 
 
 def fused_t_fits(T, B, D, X, M, num_active=None, wmb=None,
@@ -359,6 +395,13 @@ def energy_expected_fused_t(decoders, gamma, precision: str = "float32"):
     return e
 
 
+def _split_pair_host(w, precision):
+    a, b = _prep_wT_host(w, precision)
+    if b is None:                        # float32: duplicate (unused slot)
+        b = a
+    return a, b
+
+
 def _fwd_impl_t(decoders, gamma, precision):
     if precision not in PRECISIONS:
         raise ValueError(f"unknown kernel precision {precision!r}")
@@ -368,11 +411,13 @@ def _fwd_impl_t(decoders, gamma, precision):
     Tc = _pick_tc(T, _BB)
     nT = T // Tc
     L = Tc * _BB
+    w2a, w2b = _split_pair_host(w2T, precision)
+    w3a, w3b = _split_pair_host(w3T, precision)
     kernel = functools.partial(_fwd_kernel_T, D=D, Xp=Xp, M=M, B=_BB, Tc=Tc,
                                dtype=precision, n_t_chunks=nT)
     w_specs = [
         pl.BlockSpec(a.shape, lambda i, j, _s=a.shape: (0,) * len(_s))
-        for a in (w1T, b1T, w2T, b2T, w3T, b3T)
+        for a in (w1T, b1T, w2a, w2b, b2T, w3a, w3b, b3T)
     ]
     fwd = pl.pallas_call(
         kernel,
@@ -389,8 +434,7 @@ def _fwd_impl_t(decoders, gamma, precision):
         interpret=not _is_tpu(),
     )
     ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
-    out = fwd(gt, w1T.astype(ship), b1T, w2T.astype(ship), b2T,
-              w3T.astype(ship), b3T)
+    out = fwd(gt, w1T.astype(ship), b1T, w2a, w2b, b2T, w3a, w3b, b3T)
     e = out[:, 0, :].reshape(B_pad)[:B]
     return e, (decoders, gamma)
 
@@ -404,17 +448,23 @@ def _bwd_rule_t(precision, res, ct):
     (T, B, B_pad, nB, D, X, Xp, M, H1, H2, gt, wpack) = _prep_inputs(
         decoders, gamma, _BB)
     (w1, w1T, b1T, w2, w2T, b2T, w3, w3T, b3T) = wpack
-    Tc = _pick_tc(T, _BB)
+    Tc = _pick_tc(T, _BB, _bwd_target_lanes(M, Xp))
     nT = T // Tc
     L = Tc * _BB
     ct_p = jnp.zeros((nB, 8, _BB), jnp.float32)
     ct_flat = jnp.pad(jnp.asarray(ct, jnp.float32), (0, B_pad - B))
     ct_p = ct_p.at[:, 0, :].set(ct_flat.reshape(nB, _BB))
+    w2a, w2b = _split_pair_host(w2T, precision)
+    w3a, w3b = _split_pair_host(w3T, precision)
+    chain_prec = "bfloat16" if precision in ("f32x3", "f32x2") else precision
+    chain_ship = jnp.bfloat16 if chain_prec == "bfloat16" else jnp.float32
+    w2c = w2.astype(chain_ship)
+    w3c = w3.astype(chain_ship)
     kernel = functools.partial(_bwd_kernel_T, D=D, Xp=Xp, M=M, B=_BB, Tc=Tc,
                                dtype=precision, n_t_chunks=nT)
     w_specs = [
         pl.BlockSpec(a.shape, lambda i, j, _s=a.shape: (0,) * len(_s))
-        for a in (w1, w1T, b1T, w2T, b2T, w3T, b3T, w2, w3)
+        for a in (w1, w1T, b1T, w2a, w2b, b2T, w3a, w3b, b3T, w2c, w3c)
     ]
     bwd = pl.pallas_call(
         kernel,
@@ -439,9 +489,8 @@ def _bwd_rule_t(precision, res, ct):
         interpret=not _is_tpu(),
     )
     ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
-    dgt = bwd(gt, ct_p, w1.astype(ship), w1T.astype(ship), b1T,
-              w2T.astype(ship), b2T, w3T.astype(ship), b3T,
-              w2.astype(ship), w3.astype(ship))
+    dgt = bwd(gt, ct_p, w1.astype(jnp.float32), w1T.astype(ship), b1T,
+              w2a, w2b, b2T, w3a, w3b, b3T, w2c, w3c)
     # (nB, 8, T*Bb) -> (T, B, D)
     dg = dgt[:, :D, :].reshape(nB, D, T, _BB).transpose(2, 0, 3, 1).reshape(
         T, B_pad, D)[:, :B]

@@ -82,14 +82,6 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
             _warn_fallback(mode, T, B, D, X, 1)
             return energy_lib.energy_single(decoders, gamma)
         precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
-        from vae_latent_geometry_tpu.ops.energy_pallas_t import (
-            energy_expected_fused_t,
-            fused_t_fits,
-        )
-
-        if fused_t_fits(T, B, D, X, 1,
-                        n_layers=len(decoders["layers"])):
-            return energy_expected_fused_t(stacked, gamma, precision)
         return energy_expected_fused(stacked, gamma, None, precision)
     if mode == "mc":
         return energy_lib.energy_mc(decoders, gamma, key, mc_samples,
@@ -165,17 +157,12 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
             _warn_fallback(mode, T, B, D, X, m_dec)
             return energy_lib.energy_expected(decoders, gamma, num_active)
         precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
-        # transposed-layout kernel when the shape allows it (uniform
-        # weights, 3-layer decoder): ~0.75x the MXU work of the
-        # feature-on-lanes layout (ops/energy_pallas_t.py)
-        from vae_latent_geometry_tpu.ops.energy_pallas_t import (
-            energy_expected_fused_t,
-            fused_t_fits,
-        )
-
-        n_layers = len(decoders["layers"])
-        if fused_t_fits(T, B, D, X, m_dec, num_active, None, n_layers):
-            return energy_expected_fused_t(decoders, gamma, precision)
+        # NOTE a transposed-layout variant (features on sublanes, points on
+        # lanes; ops/energy_pallas_t.py) removes the X=50->128 lane-padding
+        # waste on paper (0.76x the MXU work) but measured ~30% SLOWER on a
+        # v5e: the weights-stationary MXU wants the long dimension streaming
+        # through rows, not lanes.  Kept as a validated negative result; the
+        # feature-on-lanes layout below is the production path.
         # per-spline first-k-decoder subsets (the CoV sweep) become a
         # masked-mean weight plane streamed into the kernel
         wmb = (active_weights(num_active, m_dec, B)
