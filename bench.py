@@ -385,6 +385,11 @@ def main():
         "numerics_gate_ok": not bad,
         "torch_cpu_baseline": {"steps_per_sec": round(baseline, 4),
                                "rel_spread": spread},
+        "vs_baseline_caveat": (
+            "denominator is a torch-CPU reimplementation (this image has no "
+            "CUDA and upstream publishes no speed numbers — BASELINE.md); "
+            "never quote vs_baseline without the ladder and the workload "
+            "wall-clocks in docs/PERFORMANCE.md"),
     }))
     if bad:
         sys.exit(2)

@@ -220,6 +220,7 @@ def cmd_optimize(args):
     data = _load_data(args).x if not args.no_euclidean else None
     cfg = GeodesicConfig(
         steps=args.steps, lr=args.lr, batch_size=args.batch_size,
+        early_stop=args.early_stop,
         energy=EnergyConfig(num_t=args.num_t, mc_samples=args.mc_samples,
                             mode=args.energy_mode),
     )
@@ -437,6 +438,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["entropy", "euclidean"])
     o.add_argument("--pair-count", type=int, default=10)
     o.add_argument("--steps", type=int, default=1000)
+    o.add_argument("--early-stop", action="store_true",
+                   help="chunk-level convergence exit (batched early "
+                        "stopping) instead of the fixed step budget")
     o.add_argument("--lr", type=float, default=1e-3)
     o.add_argument("--batch-size", type=int, default=200)
     o.add_argument("--num-t", type=int, default=2000)

@@ -80,6 +80,17 @@ class GeodesicConfig:
     steps: int = 1000
     lr: float = 1e-3
     batch_size: int = 200
+    # Learning-rate schedule for the batched Adam loop.  "constant" is the
+    # reference semantics (src/optimize.py:153: fixed-lr Adam for the full
+    # budget).  "cosine" linearly warms up to ``lr`` over ``lr_warmup``
+    # steps then cosine-decays to ``lr_end`` by ``steps`` — measured on the
+    # production workload, a 400-step cosine run reaches lower final
+    # energies than the reference's 1000-step constant run
+    # (experiment/schedule_probe.json), cutting the full-matrix wall clock
+    # proportionally.
+    lr_schedule: str = "constant"
+    lr_warmup: int = 20
+    lr_end: float = 1e-5
     energy: EnergyConfig = field(default_factory=EnergyConfig)
     spline: SplineConfig = field(default_factory=SplineConfig)
     # Single-spline early stopping (reference optimize_energy.py:119-165).

@@ -219,12 +219,29 @@ def make_loss_fn(decoders, basis, cfg: GeodesicConfig) -> Callable:
     return loss
 
 
+def _make_opt(cfg: GeodesicConfig):
+    """Adam with the configured learning-rate schedule.  "constant" is the
+    reference semantics (src/optimize.py:153); "cosine" front-loads the
+    step budget (warmup -> peak ``cfg.lr`` -> cosine to ``cfg.lr_end``),
+    which reaches lower energies in ~0.4x the steps on the production
+    workload (experiment/schedule_probe.json)."""
+    if cfg.lr_schedule == "constant":
+        return optax.adam(cfg.lr)
+    if cfg.lr_schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.lr, warmup_steps=cfg.lr_warmup,
+            decay_steps=cfg.steps, end_value=cfg.lr_end)
+        return optax.adam(learning_rate=sched)
+    raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule!r} "
+                     "(expected 'constant' or 'cosine')")
+
+
 @partial(jax.jit, static_argnames=("cfg", "record_history"))
 def _optimize_scan(decoders, omega0, a, b, basis, key,
                    cfg: GeodesicConfig, record_history: bool = False,
                    num_active=None):
     loss_fn = make_loss_fn(decoders, basis, cfg)
-    opt = optax.adam(cfg.lr)
+    opt = _make_opt(cfg)
     opt_state = opt.init(omega0)
 
     def step(carry, step_key):
@@ -284,22 +301,24 @@ def optimize_splines(decoders, omega0, a, b, basis, cfg: GeodesicConfig,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "block"))
 def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig,
-                         num_active=None):
+                         num_active=None, block: int = 50):
+    """Early stopping with per-step best/patience tracking INSIDE ``block``-
+    step ``lax.scan`` segments and a ``while_loop`` only at block
+    granularity.  A step-granular while_loop measured ~1.4x slower per step
+    than the scan (lost pipelining) at the production workload — enough to
+    eat any step savings; block exit keeps the scan's speed and checks
+    convergence every ``block`` steps (the run may overshoot the exit point
+    by up to block-1 steps)."""
     loss_fn = make_loss_fn(decoders, basis, cfg)
-    opt = optax.adam(cfg.lr)
+    opt = _make_opt(cfg)
 
     _, e0 = loss_fn(omega0, a, b, key, num_active)
 
-    def cond(state):
-        step, _, _, _, _, patience_ctr = state
-        return jnp.logical_and(step < cfg.steps,
-                               jnp.min(patience_ctr) <= cfg.patience)
-
-    def body(state):
-        step, omega, opt_state, best_omega, best_e, patience_ctr = state
-        step_key = jax.random.fold_in(key, step)
+    def scan_step(carry, step_idx):
+        omega, opt_state, best_omega, best_e, patience_ctr = carry
+        step_key = jax.random.fold_in(key, step_idx)
         (_, e), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             omega, a, b, step_key, num_active
         )
@@ -312,11 +331,21 @@ def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig
         best_e = jnp.where(improved, e, best_e)
         best_omega = jnp.where(improved[:, None, None], omega, best_omega)
         patience_ctr = jnp.where(improved, 0, patience_ctr + 1)
-        return step + 1, omega, opt_state, best_omega, best_e, patience_ctr
+        return (omega, opt_state, best_omega, best_e, patience_ctr), None
 
-    state = (0, omega0, opt.init(omega0), omega0, e0,
-             jnp.zeros(omega0.shape[0], jnp.int32))
-    _, _, _, best_omega, best_e, _ = jax.lax.while_loop(cond, body, state)
+    def cond(state):
+        step, carry = state
+        return jnp.logical_and(step < cfg.steps,
+                               jnp.min(carry[4]) <= cfg.patience)
+
+    def body(state):
+        step, carry = state
+        carry, _ = jax.lax.scan(scan_step, carry, step + jnp.arange(block))
+        return step + block, carry
+
+    state = (0, (omega0, opt.init(omega0), omega0, e0,
+                 jnp.zeros(omega0.shape[0], jnp.int32)))
+    _, (_, _, best_omega, best_e, _) = jax.lax.while_loop(cond, body, state)
     # report exact energies at the restored best params (reduced kernel
     # precision only ever steers the trajectory, mirror of _optimize_scan)
     cfg_exact = dataclasses.replace(
