@@ -98,6 +98,52 @@ def test_mc_and_expected_agree_at_convergence(toy_problem, rng):
     np.testing.assert_allclose(e_of(res_mc.omega), e_of(res_exp.omega), rtol=2e-2)
 
 
+def test_cosine_schedule_converges(toy_problem):
+    """The warmup+cosine schedule is a drop-in: energies finite, endpoints
+    pinned, and final energies no worse than the constant-lr run (on this
+    toy problem the front-loaded lr converges at least as well)."""
+    dec, a, b, basis, omega0 = toy_problem
+    cfg_c = _small_cfg(energy={"mode": "single", "num_t": 128})
+    cfg_cos = _small_cfg(lr=3e-2, lr_schedule="cosine", lr_warmup=10,
+                         energy={"mode": "single", "num_t": 128})
+    res_c = optimize_splines(dec, omega0, a, b, basis, cfg_c)
+    res_cos = optimize_splines(dec, omega0, a, b, basis, cfg_cos)
+    assert np.all(np.isfinite(np.asarray(res_cos.energy)))
+    assert np.all(np.asarray(res_cos.energy)
+                  <= np.asarray(res_c.energy) * 1.02 + 1e-6)
+
+
+def test_unknown_schedule_raises(toy_problem):
+    dec, a, b, basis, omega0 = toy_problem
+    cfg = _small_cfg(lr_schedule="sgdr",
+                     energy={"mode": "single", "num_t": 128})
+    with pytest.raises(ValueError, match="sgdr"):
+        optimize_splines(dec, omega0, a, b, basis, cfg)
+
+
+def test_traj_num_t_reports_full_resolution(toy_problem):
+    """traj_num_t only steers the trajectory: the returned energies must be
+    the FULL-resolution (energy.num_t) float32 evaluation of the returned
+    omega, and the coarse-trajectory solution must land near the
+    full-resolution one."""
+    dec, a, b, basis, omega0 = toy_problem
+    cfg_full = _small_cfg(energy={"mode": "single", "num_t": 256})
+    cfg_coarse = dataclasses.replace(cfg_full, traj_num_t=64)
+    res_full = optimize_splines(dec, omega0, a, b, basis, cfg_full)
+    res_coarse = optimize_splines(dec, omega0, a, b, basis, cfg_coarse)
+
+    # contract: reported energy == explicit full-T evaluation of omega
+    t = jnp.linspace(0.0, 1.0, 256)
+    phi = design_matrix(t, jnp.asarray(basis), 4)
+    gamma = eval_spline_design(res_coarse.omega, a, b, phi, t)
+    e_explicit = np.asarray(E.energy_single(dec, gamma))
+    np.testing.assert_allclose(np.asarray(res_coarse.energy), e_explicit,
+                               rtol=1e-5)
+    # quality: coarse trajectory lands near the full-resolution solution
+    np.testing.assert_allclose(np.asarray(res_coarse.energy),
+                               np.asarray(res_full.energy), rtol=2e-2)
+
+
 def test_early_stopping_not_worse_than_fixed(toy_problem):
     dec, a, b, basis, omega0 = toy_problem
     cfg = _small_cfg(steps=150, patience=30, delta=1e-6,

@@ -220,7 +220,7 @@ def cmd_optimize(args):
     data = _load_data(args).x if not args.no_euclidean else None
     cfg = GeodesicConfig(
         steps=args.steps, lr=args.lr, batch_size=args.batch_size,
-        early_stop=args.early_stop,
+        early_stop=args.early_stop, traj_num_t=args.traj_num_t,
         energy=EnergyConfig(num_t=args.num_t, mc_samples=args.mc_samples,
                             mode=args.energy_mode),
     )
@@ -441,6 +441,10 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--early-stop", action="store_true",
                    help="chunk-level convergence exit (batched early "
                         "stopping) instead of the fixed step budget")
+    o.add_argument("--traj-num-t", type=int, default=None,
+                   help="trajectory-only quadrature resolution (final "
+                        "energies still reported at --num-t); prefer "
+                        "powers of two, e.g. 1024")
     o.add_argument("--lr", type=float, default=1e-3)
     o.add_argument("--batch-size", type=int, default=200)
     o.add_argument("--num-t", type=int, default=2000)

@@ -91,6 +91,17 @@ class GeodesicConfig:
     lr_schedule: str = "constant"
     lr_warmup: int = 20
     lr_end: float = 1e-5
+    # Trajectory-only quadrature resolution.  When set, the Adam loop
+    # evaluates the discrete energy on a ``traj_num_t``-point t-grid while
+    # the FINAL energies are still re-evaluated on the full
+    # ``energy.num_t`` grid at exact float32 — the same contract as the
+    # kernel-precision rungs (reduced arithmetic steers the trajectory,
+    # never the reported numbers).  Prefer powers of two (1024, 512): the
+    # fused kernels need a T-divisor that is a multiple of 8 and >= 16
+    # (ops.energy_pallas.fused_fits), which T=1000/500 lack.  Measured
+    # impact at T_traj=1024 on the production workload:
+    # experiment/traj_resolution_probe.json.
+    traj_num_t: Optional[int] = None
     energy: EnergyConfig = field(default_factory=EnergyConfig)
     spline: SplineConfig = field(default_factory=SplineConfig)
     # Single-spline early stopping (reference optimize_energy.py:119-165).

@@ -219,6 +219,16 @@ def make_loss_fn(decoders, basis, cfg: GeodesicConfig) -> Callable:
     return loss
 
 
+def _traj_cfg(cfg: GeodesicConfig) -> GeodesicConfig:
+    """Config the Adam loop optimizes under: ``traj_num_t`` (when set)
+    replaces the quadrature resolution for the trajectory only — the final
+    re-evaluation below always uses the full ``energy.num_t`` grid."""
+    if cfg.traj_num_t is None:
+        return cfg
+    return dataclasses.replace(
+        cfg, energy=dataclasses.replace(cfg.energy, num_t=cfg.traj_num_t))
+
+
 def _make_opt(cfg: GeodesicConfig):
     """Adam with the configured learning-rate schedule.  "constant" is the
     reference semantics (src/optimize.py:153); "cosine" front-loads the
@@ -240,7 +250,7 @@ def _make_opt(cfg: GeodesicConfig):
 def _optimize_scan(decoders, omega0, a, b, basis, key,
                    cfg: GeodesicConfig, record_history: bool = False,
                    num_active=None):
-    loss_fn = make_loss_fn(decoders, basis, cfg)
+    loss_fn = make_loss_fn(decoders, basis, _traj_cfg(cfg))
     opt = _make_opt(cfg)
     opt_state = opt.init(omega0)
 
@@ -311,7 +321,7 @@ def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig
     eat any step savings; block exit keeps the scan's speed and checks
     convergence every ``block`` steps (the run may overshoot the exit point
     by up to block-1 steps)."""
-    loss_fn = make_loss_fn(decoders, basis, cfg)
+    loss_fn = make_loss_fn(decoders, basis, _traj_cfg(cfg))
     opt = _make_opt(cfg)
 
     _, e0 = loss_fn(omega0, a, b, key, num_active)
