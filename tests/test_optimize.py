@@ -144,6 +144,49 @@ def test_traj_num_t_reports_full_resolution(toy_problem):
                                np.asarray(res_full.energy), rtol=2e-2)
 
 
+def test_two_phase_polish_contract(toy_problem):
+    """The two-phase fast recipe (coarse trajectory + full-T polish):
+    reported energies are exact full-T evaluations of the returned omega,
+    endpoints stay pinned, the history concatenates both phases, and the
+    polished solution is at least as good as the coarse-only one."""
+    dec, a, b, basis, omega0 = toy_problem
+    cfg_coarse = _small_cfg(steps=120,
+                            energy={"mode": "single", "num_t": 256},
+                            traj_num_t=64)
+    cfg_two = dataclasses.replace(cfg_coarse, polish_steps=60,
+                                  polish_lr=1e-2)
+    res_coarse = optimize_splines(dec, omega0, a, b, basis, cfg_coarse)
+    res_two = optimize_splines(dec, omega0, a, b, basis, cfg_two,
+                               record_history=True)
+
+    hist = np.asarray(res_two.energy_history)
+    assert hist.shape == (120 + 60, 4)
+    # reported energy == explicit full-T evaluation of the returned omega
+    t = jnp.linspace(0.0, 1.0, 256)
+    phi = design_matrix(t, jnp.asarray(basis), 4)
+    gamma = eval_spline_design(res_two.omega, a, b, phi, t)
+    e_explicit = np.asarray(E.energy_single(dec, gamma))
+    np.testing.assert_allclose(np.asarray(res_two.energy), e_explicit,
+                               rtol=1e-5)
+    # polish never hurts: per-spline energies <= the coarse-only run's
+    assert np.all(np.asarray(res_two.energy)
+                  <= np.asarray(res_coarse.energy) * 1.001 + 1e-6)
+    np.testing.assert_allclose(np.asarray(gamma[0]), np.asarray(a), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gamma[-1]), np.asarray(b), atol=1e-4)
+
+
+def test_two_phase_ignored_without_traj_num_t(toy_problem):
+    """polish_steps without traj_num_t is a no-op: identical results to the
+    plain single-phase run (the contract documented in config.py)."""
+    dec, a, b, basis, omega0 = toy_problem
+    cfg_plain = _small_cfg(energy={"mode": "single", "num_t": 128})
+    cfg_polish = dataclasses.replace(cfg_plain, polish_steps=50)
+    res_plain = optimize_splines(dec, omega0, a, b, basis, cfg_plain)
+    res_polish = optimize_splines(dec, omega0, a, b, basis, cfg_polish)
+    np.testing.assert_array_equal(np.asarray(res_plain.omega),
+                                  np.asarray(res_polish.omega))
+
+
 def test_early_stopping_not_worse_than_fixed(toy_problem):
     dec, a, b, basis, omega0 = toy_problem
     cfg = _small_cfg(steps=150, patience=30, delta=1e-6,

@@ -218,9 +218,25 @@ def cmd_optimize(args):
         f"spline_batch_init_{args.init_type}_{args.pair_count}.npz")
     art = load_spline_batch(spline_path)
     data = _load_data(args).x if not args.no_euclidean else None
+    if args.fast:
+        # measured two-phase recipe (experiment/fast_recipe_probe2.json):
+        # cosine(3e-3) x 1000 @ T=512 + 300 polish @ full T reaches strictly
+        # lower final energies than the reference 1000-step constant-lr run
+        # on 99.5-100% of pairs (median 10% lower, worst pair +2.5%) at
+        # 1.79x the speed; explicit flags still win over the preset
+        fast = {"steps": 1000, "lr": 3e-3, "lr_schedule": "cosine",
+                "traj_num_t": 512, "polish_steps": 300, "polish_lr": 1e-3}
+        flag_defaults = {"steps": 1000, "lr": 1e-3,
+                         "lr_schedule": "constant", "traj_num_t": None,
+                         "polish_steps": 0, "polish_lr": 1e-3}
+        for k, v in fast.items():
+            if getattr(args, k) == flag_defaults[k]:
+                setattr(args, k, v)
     cfg = GeodesicConfig(
         steps=args.steps, lr=args.lr, batch_size=args.batch_size,
-        early_stop=args.early_stop, traj_num_t=args.traj_num_t,
+        lr_schedule=args.lr_schedule, early_stop=args.early_stop,
+        traj_num_t=args.traj_num_t, polish_steps=args.polish_steps,
+        polish_lr=args.polish_lr,
         energy=EnergyConfig(num_t=args.num_t, mc_samples=args.mc_samples,
                             mode=args.energy_mode),
     )
@@ -445,6 +461,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="trajectory-only quadrature resolution (final "
                         "energies still reported at --num-t); prefer "
                         "powers of two, e.g. 1024")
+    o.add_argument("--polish-steps", type=int, default=0,
+                   help="extra full-resolution Adam steps after the "
+                        "--traj-num-t coarse phase (two-phase fast recipe)")
+    o.add_argument("--polish-lr", type=float, default=1e-3)
+    o.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "cosine"])
+    o.add_argument("--fast", action="store_true",
+                   help="measured fast recipe: reaches lower final "
+                        "energies than the reference 1000-step run on "
+                        ">=99.5%% of pairs at a fraction of the wall clock "
+                        "(experiment/fast_recipe_probe.json); sets "
+                        "steps/lr/schedule/traj-num-t/polish unless "
+                        "explicitly given")
     o.add_argument("--lr", type=float, default=1e-3)
     o.add_argument("--batch-size", type=int, default=200)
     o.add_argument("--num-t", type=int, default=2000)

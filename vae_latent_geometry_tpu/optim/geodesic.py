@@ -229,6 +229,25 @@ def _traj_cfg(cfg: GeodesicConfig) -> GeodesicConfig:
         cfg, energy=dataclasses.replace(cfg.energy, num_t=cfg.traj_num_t))
 
 
+def _phase_cfgs(cfg: GeodesicConfig) -> list:
+    """Phase list the Adam loop runs, each with its own step count,
+    quadrature resolution, and schedule.
+
+    Single phase unless both ``traj_num_t`` and ``polish_steps`` are set:
+    then a coarse phase (``steps`` @ ``traj_num_t``, the configured
+    schedule) is followed by a full-resolution polish phase
+    (``polish_steps`` @ ``energy.num_t``, constant ``polish_lr``, fresh
+    Adam state) warm-started from the coarse solution.  Measured recipe and
+    per-pair dominance: experiment/fast_recipe_probe.json."""
+    coarse = _traj_cfg(cfg)
+    if cfg.traj_num_t is None or cfg.polish_steps <= 0:
+        return [coarse]
+    polish = dataclasses.replace(
+        cfg, steps=cfg.polish_steps, lr=cfg.polish_lr,
+        lr_schedule="constant", traj_num_t=None)
+    return [coarse, polish]
+
+
 def _make_opt(cfg: GeodesicConfig):
     """Adam with the configured learning-rate schedule.  "constant" is the
     reference semantics (src/optimize.py:153); "cosine" front-loads the
@@ -250,26 +269,36 @@ def _make_opt(cfg: GeodesicConfig):
 def _optimize_scan(decoders, omega0, a, b, basis, key,
                    cfg: GeodesicConfig, record_history: bool = False,
                    num_active=None):
-    loss_fn = make_loss_fn(decoders, basis, _traj_cfg(cfg))
-    opt = _make_opt(cfg)
-    opt_state = opt.init(omega0)
+    omega = omega0
+    hists = []
+    for i, pcfg in enumerate(_phase_cfgs(cfg)):
+        loss_fn = make_loss_fn(decoders, basis, pcfg)
+        opt = _make_opt(pcfg)
+        opt_state = opt.init(omega)
 
-    def step(carry, step_key):
-        omega, opt_state = carry
-        (loss, e), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            omega, a, b, step_key, num_active
-        )
-        if cfg.energy.ep_axis is not None:
-            # each ep shard's gradient covers only its decoder subset's
-            # energy contribution; the true gradient of the (replicated)
-            # omega is their sum — without this, shards silently diverge
-            grads = jax.lax.psum(grads, cfg.energy.ep_axis)
-        updates, opt_state = opt.update(grads, opt_state, omega)
-        omega = optax.apply_updates(omega, updates)
-        return (omega, opt_state), (e if record_history else None)
+        def step(carry, step_key, loss_fn=loss_fn, opt=opt):
+            omega, opt_state = carry
+            (loss, e), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                omega, a, b, step_key, num_active
+            )
+            if cfg.energy.ep_axis is not None:
+                # each ep shard's gradient covers only its decoder subset's
+                # energy contribution; the true gradient of the (replicated)
+                # omega is their sum — without this, shards silently diverge
+                grads = jax.lax.psum(grads, cfg.energy.ep_axis)
+            updates, opt_state = opt.update(grads, opt_state, omega)
+            omega = optax.apply_updates(omega, updates)
+            return (omega, opt_state), (e if record_history else None)
 
-    keys = jax.random.split(key, cfg.steps)
-    (omega, _), hist = jax.lax.scan(step, (omega0, opt_state), keys)
+        # phase 0 consumes the caller's key stream exactly as the
+        # single-phase loop always has (bit-compatible MC trajectories);
+        # later phases fold in their index
+        keys = jax.random.split(key if i == 0 else jax.random.fold_in(key, i),
+                                pcfg.steps)
+        (omega, _), hist = jax.lax.scan(step, (omega, opt_state), keys)
+        hists.append(hist)
+    hist = (jnp.concatenate(hists, axis=0) if record_history and len(hists) > 1
+            else hists[0])
     # final energy at the *final* params (the reference reports the energy of
     # the penultimate params; for converged runs these agree to MC noise).
     # Always evaluated at exact "float32" kernel precision — reduced-precision
