@@ -35,6 +35,9 @@ def set_rows(expected_rows, mc_rows):
         return _ORIG_PICK(T, B, tgt)
     energy_pallas._pick_chunk = pick
     energy_mc_pallas._pick_chunk = pick
+    # the patch only changes TRACE-time behavior: drop every cached jit
+    # executable or each config silently reruns the first one's program
+    jax.clear_caches()
 
 
 def main():

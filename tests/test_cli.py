@@ -86,3 +86,24 @@ def test_cli_entropy_init(workdir):
 def test_cli_unknown_command_errors():
     with pytest.raises(SystemExit):
         main(["frobnicate"])
+
+
+def test_fast_preset_respects_explicit_flags():
+    """--fast fills the measured recipe; flags the user set explicitly win."""
+    from vae_latent_geometry_tpu.cli import FAST_PRESET, build_parser
+
+    p = build_parser()
+    args = p.parse_args(["optimize", "--model", "m.pt", "--fast"])
+    from vae_latent_geometry_tpu.cli import apply_fast_preset
+
+    apply_fast_preset(args)
+    for k, v in FAST_PRESET.items():
+        assert getattr(args, k) == v
+
+    args = p.parse_args(["optimize", "--model", "m.pt", "--fast",
+                         "--steps", "400", "--traj-num-t", "1024"])
+    apply_fast_preset(args)
+    assert args.steps == 400
+    assert args.traj_num_t == 1024
+    assert args.lr_schedule == "cosine"      # untouched flags still filled
+    assert args.polish_steps == 300

@@ -201,6 +201,27 @@ def cmd_init_splines(args):
           f"splines -> {out}")
 
 
+# The measured two-phase fast recipe (--fast): cosine(3e-3) x 1000
+# trajectory steps @ T=512 + 300 constant-lr polish steps @ the full
+# T=2000 reaches strictly lower final energies than the reference
+# 1000-step constant-lr run on 99.3% of the 8,778 production pairs at
+# 1.89x the end-to-end speed (experiment/fast_recipe_probe2.json,
+# full133_fast_timing.json).
+FAST_PRESET = {"steps": 1000, "lr": 3e-3, "lr_schedule": "cosine",
+               "traj_num_t": 512, "polish_steps": 300, "polish_lr": 1e-3}
+_FAST_FLAG_DEFAULTS = {"steps": 1000, "lr": 1e-3, "lr_schedule": "constant",
+                       "traj_num_t": None, "polish_steps": 0,
+                       "polish_lr": 1e-3}
+
+
+def apply_fast_preset(args) -> None:
+    """Fill the fast-recipe values into ``args`` in place; any flag the user
+    set explicitly (i.e. that differs from its parser default) wins."""
+    for k, v in FAST_PRESET.items():
+        if getattr(args, k) == _FAST_FLAG_DEFAULTS[k]:
+            setattr(args, k, v)
+
+
 def cmd_optimize(args):
     from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
     from vae_latent_geometry_tpu.io.artifacts import (
@@ -219,19 +240,7 @@ def cmd_optimize(args):
     art = load_spline_batch(spline_path)
     data = _load_data(args).x if not args.no_euclidean else None
     if args.fast:
-        # measured two-phase recipe (experiment/fast_recipe_probe2.json):
-        # cosine(3e-3) x 1000 @ T=512 + 300 polish @ full T reaches strictly
-        # lower final energies than the reference 1000-step constant-lr run
-        # on 99.5-100% of pairs (median 10% lower, worst pair +2.5%) at
-        # 1.79x the speed; explicit flags still win over the preset
-        fast = {"steps": 1000, "lr": 3e-3, "lr_schedule": "cosine",
-                "traj_num_t": 512, "polish_steps": 300, "polish_lr": 1e-3}
-        flag_defaults = {"steps": 1000, "lr": 1e-3,
-                         "lr_schedule": "constant", "traj_num_t": None,
-                         "polish_steps": 0, "polish_lr": 1e-3}
-        for k, v in fast.items():
-            if getattr(args, k) == flag_defaults[k]:
-                setattr(args, k, v)
+        apply_fast_preset(args)
     cfg = GeodesicConfig(
         steps=args.steps, lr=args.lr, batch_size=args.batch_size,
         lr_schedule=args.lr_schedule, early_stop=args.early_stop,
