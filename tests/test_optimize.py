@@ -290,3 +290,25 @@ def test_mc_scan_mode_in_optimizer(toy_problem):
     hist = np.asarray(res.energy_history)
     assert np.isfinite(hist).all()
     assert hist[-1].mean() < hist[0].mean()
+
+
+def test_early_stop_and_fast_recipe_mutually_exclusive(toy_problem):
+    """pipeline.optimize_stage refuses early_stop + two-phase fast recipe
+    (the while-loop optimizer has no polish phase)."""
+    from vae_latent_geometry_tpu.io.artifacts import SplineBatchArtifact
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    dec, a, b, basis, omega0 = toy_problem
+    art = SplineBatchArtifact(
+        a=np.asarray(a), b=np.asarray(b), omega_init=np.asarray(omega0),
+        basis=np.asarray(basis), n_poly=4,
+        pair_indices=np.zeros((len(a), 2), np.int64),
+        valid=np.ones(len(a), bool),
+        pair_labels=[["x", "y"]] * len(a), representatives=[])
+    cfg = _small_cfg(steps=10, early_stop=True, traj_num_t=32,
+                     polish_steps=5,
+                     energy={"mode": "single", "num_t": 64})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        optimize_spline_batch(dec, art, cfg=cfg)
