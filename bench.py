@@ -228,6 +228,33 @@ def mfu_report(ladder: dict) -> dict:
     return out
 
 
+def _workload_wall_clocks() -> dict:
+    """End-to-end wall clocks of the committed production-workload runs
+    (measured on this rig by experiment/regenerate.py stages, NOT
+    re-measured here; docs/PERFORMANCE.md has the full table)."""
+    out = {}
+    for key, fname in (
+            ("full133_reference_recipe_s", "full133_euclidean_timing.json"),
+            ("full133_fast_recipe_s", "full133_fast_timing.json"),
+            ("full133_mc_semantics_s", "full133_mc_timing.json"),
+            ("cov_6300_runs_s", "cov_timing.json"),
+            ("train_600_epochs_s", "train_timing.json")):
+        path = os.path.join(REPO, "experiment", fname)
+        if os.path.exists(path):
+            try:
+                out[key] = json.load(open(path)).get("wall_clock_seconds")
+            except Exception:
+                pass
+    fast = os.path.join(REPO, "experiment", "full133_fast_timing.json")
+    if os.path.exists(fast):
+        try:
+            out["full133_fast_vs_fixed"] = json.load(
+                open(fast)).get("fixed_run_comparison")
+        except Exception:
+            pass
+    return out
+
+
 def bench_torch_baseline(steps: int = 10):
     """Reference-equivalent PyTorch workload on CPU (own implementation).
 
@@ -381,6 +408,7 @@ def main():
         "vs_baseline": None if bad else round(ours / baseline, 2),
         "ladder_steps_per_sec": ladder,
         "mfu": mfu_report(ladder),
+        "workload_wall_clocks": _workload_wall_clocks(),
         "numerics_gate_medrel_vs_float64": numerics,
         "numerics_gate_ok": not bad,
         "torch_cpu_baseline": {"steps_per_sec": round(baseline, 4),

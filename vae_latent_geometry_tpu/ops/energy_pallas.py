@@ -71,6 +71,12 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 # 100 MB limit), so their blocks are capped at 128.
 _SINGLE_BLOCK_MAX = 256
 _GRID_BB = 128
+# Rows-per-block targets, forward vs backward: the backward's multi-pass
+# stack temporaries cap its blocks (Tc=40 at B=200 measured 122.5 MB
+# scoped vmem, > the chip; experiment/tc_sweep_probe.json), the forward
+# is lighter and may use larger blocks independently.
+_TARGET_ROWS_FWD = 4096
+_TARGET_ROWS_BWD = 4096
 _MAX_BB_EXPECTED = _SINGLE_BLOCK_MAX
 _MAX_BB_MC = _GRID_BB
 
@@ -847,7 +853,7 @@ def energy_expected_fused_checked(decoders, gamma, wmb=None,
     return energy_expected_fused(decoders, gamma, wmb, precision)
 
 
-def _dims(decoders, gamma):
+def _dims(decoders, gamma, target_rows: int = 4096):
     T, B, D = gamma.shape
     ws, bs = _stack_weights(decoders)
     M = ws[0].shape[0]
@@ -855,7 +861,7 @@ def _dims(decoders, gamma):
     B_pad = _round_up(B, 8)
     Bb = _pick_bb(B_pad)
     B_pad = _round_up(B_pad, Bb)
-    Tc = _pick_chunk(T, Bb)
+    Tc = _pick_chunk(T, Bb, target_rows)
     return T, B, B_pad, Bb, D, X, M, Tc, ws, bs
 
 
@@ -875,7 +881,8 @@ def _resolve_wmb(wmb, M, B_pad, B):
 
 
 def _fwd_impl(decoders, gamma, wmb, precision):
-    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _dims(decoders, gamma)
+    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _dims(decoders, gamma,
+                                                 _TARGET_ROWS_FWD)
     if precision not in PRECISIONS:
         raise ValueError(f"unknown kernel precision {precision!r}")
     ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
@@ -894,7 +901,8 @@ def _fwd_rule(decoders, gamma, wmb, precision):
 
 def _bwd_rule(precision, res, ct):
     decoders, gamma, wmb = res
-    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _dims(decoders, gamma)
+    T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _dims(decoders, gamma,
+                                                 _TARGET_ROWS_BWD)
     ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     gamma_p = _pad_b(gamma, B_pad, axis=1)
     wmb_p = _resolve_wmb(wmb, M, B_pad, B)
