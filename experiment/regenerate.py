@@ -425,16 +425,10 @@ def stage_train():
     print(f"[train] 600 epochs in {wall:.1f}s", flush=True)
 
 
-def stage_full133_fast():
-    """Full 133x133 with the measured two-phase fast recipe (the wall-clock
-    lever that works where early stopping measured negative): cosine(3e-3)
-    x 1000 trajectory steps at T=512 quadrature + 300 constant-lr polish
-    steps at the full T=2000, per-chunk.  Probe evidence
-    (fast_recipe_probe2.json, two production chunks): final exact-f32
-    T=2000 energies strictly LOWER than the reference recipe's on
-    99.5-100%% of pairs (median ~10%% lower, worst pair +2.5%%) at 1.79x
-    the chunk throughput.  This stage runs the whole workload and asserts
-    the same dominance against the committed fixed-run matrix."""
+def _run_full133_two_phase(tag, steps, traj_num_t, polish_steps, note):
+    """Shared driver for the two-phase (coarse-T trajectory + full-T
+    polish) full-matrix recipes; writes full133_<tag>_timing.json with a
+    dominance comparison against the committed fixed-1000-step matrix."""
     from vae_latent_geometry_tpu.config import (
         EnergyConfig,
         GeodesicConfig,
@@ -451,8 +445,8 @@ def stage_full133_fast():
         params, data.x, data.labels, max_labels=133,
         init_cfg=InitConfig(use_entropy=False),
         geo_cfg=GeodesicConfig(
-            steps=1000, lr=3e-3, lr_schedule="cosine", batch_size=200,
-            traj_num_t=512, polish_steps=300, polish_lr=1e-3,
+            steps=steps, lr=3e-3, lr_schedule="cosine", batch_size=200,
+            traj_num_t=traj_num_t, polish_steps=polish_steps, polish_lr=1e-3,
             energy=EnergyConfig(num_t=2000, mode="expected_fused",
                                 kernel_precision=BULK_PREC)),
         verbose=False,
@@ -476,15 +470,12 @@ def stage_full133_fast():
                    "max_len_ratio_vs_fixed": float(ratio.max()),
                    "frac_strictly_better": float((ratio < 1.0).mean()),
                    "frac_not_worse_1pct": float((ratio <= 1.01).mean())}
-            print(f"[full133 fast] vs fixed: med ratio "
+            print(f"[full133 {tag}] vs fixed: med ratio "
                   f"{cmp['median_len_ratio_vs_fixed']:.4f}, worst "
                   f"{cmp['max_len_ratio_vs_fixed']:.4f}, strictly better "
                   f"{cmp['frac_strictly_better']:.1%}", flush=True)
-    _write("full133_fast_timing.json", {
-        "note": "two-phase fast recipe: cosine(3e-3) x 1000 @ T_traj=512 + "
-                "300 polish @ T=2000 const 1e-3; final energies exact-f32 "
-                "T=2000 (the standard contract); timing excludes one-time "
-                "tunnel warmup",
+    _write(f"full133_{tag}_timing.json", {
+        "note": note,
         "workload": "133 classes, 8778 pairs, 10 decoders, "
                     f"expected_fused@{BULK_PREC} trajectory, single v5e chip",
         "wall_clock_seconds": round(wall, 1),
@@ -494,8 +485,41 @@ def stage_full133_fast():
         "data": "synthetic surrogate (tasic-pca50.npy missing upstream) + "
                 "reference model_seed12.pt",
     })
-    print(f"[full133 fast] {wall:.0f}s "
+    print(f"[full133 {tag}] {wall:.0f}s "
           f"(opt {res.timings['optimize']:.0f}s)", flush=True)
+
+
+def stage_full133_fast():
+    """Full 133x133 with the measured two-phase fast recipe (the wall-clock
+    lever that works where early stopping measured negative): cosine(3e-3)
+    x 1000 trajectory steps at T=512 quadrature + 300 constant-lr polish
+    steps at the full T=2000, per-chunk.  Probe evidence
+    (fast_recipe_probe2.json, two production chunks): final exact-f32
+    T=2000 energies strictly LOWER than the reference recipe's on
+    99.5-100%% of pairs (median ~10%% lower, worst pair +2.5%%) at 1.79x
+    the chunk throughput.  This stage runs the whole workload and asserts
+    the same dominance against the committed fixed-run matrix."""
+    _run_full133_two_phase(
+        "fast", steps=1000, traj_num_t=512, polish_steps=300,
+        note="two-phase fast recipe: cosine(3e-3) x 1000 @ T_traj=512 + "
+             "300 polish @ T=2000 const 1e-3; final energies exact-f32 "
+             "T=2000 (the standard contract); timing excludes one-time "
+             "tunnel warmup")
+
+
+def stage_full133_turbo():
+    """The most aggressive measured two-phase point: cosine(3e-3) x 1200
+    steps at T_traj=256 + 200 polish @ T=2000 (probe row cos1200@256+200,
+    fast_recipe_probe2.json: 2.78x chunk throughput, 99-100%% of pairs
+    strictly better, worst pair +4.4%%).  Full-scale validation of the
+    probe numbers; the shipped `--fast` preset stays the more conservative
+    cos1000@512+300."""
+    _run_full133_two_phase(
+        "turbo", steps=1200, traj_num_t=256, polish_steps=200,
+        note="two-phase turbo recipe: cosine(3e-3) x 1200 @ T_traj=256 + "
+             "200 polish @ T=2000 const 1e-3; final energies exact-f32 "
+             "T=2000 (the standard contract); timing excludes one-time "
+             "tunnel warmup")
 
 
 STAGES = {
@@ -506,6 +530,7 @@ STAGES = {
     "full133_mc": stage_full133_mc,
     "full133_earlystop": stage_full133_earlystop,
     "full133_fast": stage_full133_fast,
+    "full133_turbo": stage_full133_turbo,
     "golden_ensemble": stage_golden_ensemble,
     "dscale": stage_dscale,
     "cov": stage_cov,
