@@ -236,6 +236,7 @@ def _workload_wall_clocks() -> dict:
     for key, fname in (
             ("full133_reference_recipe_s", "full133_euclidean_timing.json"),
             ("full133_fast_recipe_s", "full133_fast_timing.json"),
+            ("full133_turbo_recipe_s", "full133_turbo_timing.json"),
             ("full133_mc_semantics_s", "full133_mc_timing.json"),
             ("cov_6300_runs_s", "cov_timing.json"),
             ("train_600_epochs_s", "train_timing.json")):

@@ -425,10 +425,12 @@ def stage_train():
     print(f"[train] 600 epochs in {wall:.1f}s", flush=True)
 
 
-def _run_full133_two_phase(tag, steps, traj_num_t, polish_steps, note):
-    """Shared driver for the two-phase (coarse-T trajectory + full-T
-    polish) full-matrix recipes; writes full133_<tag>_timing.json with a
-    dominance comparison against the committed fixed-1000-step matrix."""
+def _run_full133_two_phase(tag, steps, traj_num_t, polish_steps, note,
+                           phase_plan=None):
+    """Shared driver for the multi-phase (coarse-T trajectory + full-T
+    polish, or an explicit phase_plan ladder) full-matrix recipes; writes
+    full133_<tag>_timing.json with a dominance comparison against the
+    committed fixed-1000-step matrix."""
     from vae_latent_geometry_tpu.config import (
         EnergyConfig,
         GeodesicConfig,
@@ -447,6 +449,7 @@ def _run_full133_two_phase(tag, steps, traj_num_t, polish_steps, note):
         geo_cfg=GeodesicConfig(
             steps=steps, lr=3e-3, lr_schedule="cosine", batch_size=200,
             traj_num_t=traj_num_t, polish_steps=polish_steps, polish_lr=1e-3,
+            phase_plan=phase_plan,
             energy=EnergyConfig(num_t=2000, mode="expected_fused",
                                 kernel_precision=BULK_PREC)),
         verbose=False,
@@ -508,14 +511,18 @@ def stage_full133_fast():
 
 
 def stage_full133_turbo():
-    """The most aggressive measured two-phase point: cosine(3e-3) x 1200
-    steps at T_traj=256 + 200 polish @ T=2000 (probe row cos1200@256+200,
-    fast_recipe_probe2.json: 2.78x chunk throughput, 99-100%% of pairs
-    strictly better, worst pair +4.4%%).  Full-scale validation of the
-    probe numbers; the shipped `--fast` preset stays the more conservative
-    cos1000@512+300."""
+    """The shipped --turbo preset (cos1200@256 + 200@2000, run through the
+    phase_plan mechanism — bitwise-identical to the two-phase path, proven
+    in tests/test_optimize.py::test_phase_plan_generalizes_two_phase).
+    Committed full-scale numbers: 130 s, 99.2%% of pairs strictly better
+    than the reference recipe (full133_turbo_timing.json).  More aggressive
+    three-phase ladders were measured at full scale and rejected for the
+    preset (dominance drops to ~97%%): turbo_ladder_fullscale.json."""
+    from vae_latent_geometry_tpu.cli import TURBO_PHASES
+
     _run_full133_two_phase(
-        "turbo", steps=1200, traj_num_t=256, polish_steps=200,
+        "turbo", steps=1200, traj_num_t=None, polish_steps=0,
+        phase_plan=TURBO_PHASES,
         note="two-phase turbo recipe: cosine(3e-3) x 1200 @ T_traj=256 + "
              "200 polish @ T=2000 const 1e-3; final energies exact-f32 "
              "T=2000 (the standard contract); timing excludes one-time "

@@ -107,3 +107,28 @@ def test_fast_preset_respects_explicit_flags():
     assert args.traj_num_t == 1024
     assert args.lr_schedule == "cosine"      # untouched flags still filled
     assert args.polish_steps == 300
+
+
+def test_turbo_phase_plan_parses_and_expands():
+    """--turbo maps to the measured three-phase ladder (TURBO_PHASES,
+    full133_turbo_timing.json); _phase_cfgs expands it into per-phase
+    configs with the ladder's steps/num_t/schedule/lr."""
+    from vae_latent_geometry_tpu.cli import TURBO_PHASES, build_parser
+    from vae_latent_geometry_tpu.config import GeodesicConfig
+    from vae_latent_geometry_tpu.optim.geodesic import _phase_cfgs
+
+    p = build_parser()
+    args = p.parse_args(["optimize", "--model", "m.pt", "--turbo"])
+    assert args.turbo
+
+    cfg = GeodesicConfig(phase_plan=TURBO_PHASES)
+    phases = _phase_cfgs(cfg)
+    assert len(phases) == len(TURBO_PHASES) == 2
+    for pcfg, (s, T, sched, lr) in zip(phases, TURBO_PHASES):
+        assert pcfg.steps == s
+        assert pcfg.energy.num_t == T
+        assert pcfg.lr_schedule == sched
+        assert pcfg.lr == lr
+        assert pcfg.phase_plan is None      # no recursive expansion
+    # the ladder ends at the full reference quadrature resolution
+    assert TURBO_PHASES[-1][1] == cfg.energy.num_t == 2000

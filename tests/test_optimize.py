@@ -312,3 +312,62 @@ def test_early_stop_and_fast_recipe_mutually_exclusive(toy_problem):
                      energy={"mode": "single", "num_t": 64})
     with pytest.raises(ValueError, match="mutually exclusive"):
         optimize_spline_batch(dec, art, cfg=cfg)
+
+
+def test_phase_plan_generalizes_two_phase(toy_problem):
+    """A phase_plan mirroring the two-phase recipe entry-for-entry produces
+    bitwise-identical omega (same phases, same key stream): the ladder
+    mechanism is a strict generalization, not a parallel code path."""
+    dec, a, b, basis, omega0 = toy_problem
+    cfg_two = _small_cfg(steps=120, lr=1e-2, lr_schedule="cosine",
+                         energy={"mode": "single", "num_t": 256},
+                         traj_num_t=64, polish_steps=60, polish_lr=1e-2)
+    cfg_plan = _small_cfg(steps=120, lr=1e-2,
+                          energy={"mode": "single", "num_t": 256},
+                          phase_plan=((120, 64, "cosine", 1e-2),
+                                      (60, 256, "constant", 1e-2)))
+    res_two = optimize_splines(dec, omega0, a, b, basis, cfg_two)
+    res_plan = optimize_splines(dec, omega0, a, b, basis, cfg_plan)
+    np.testing.assert_array_equal(np.asarray(res_two.omega),
+                                  np.asarray(res_plan.omega))
+    np.testing.assert_array_equal(np.asarray(res_two.energy),
+                                  np.asarray(res_plan.energy))
+
+
+def test_phase_plan_reports_full_resolution_energy(toy_problem):
+    """Three-phase ladder: reported energies are exact full-num_t
+    evaluations of the returned omega and endpoints stay pinned, even when
+    no ladder phase runs at the full resolution."""
+    dec, a, b, basis, omega0 = toy_problem
+    cfg = _small_cfg(steps=1, energy={"mode": "single", "num_t": 256},
+                     phase_plan=((80, 32, "cosine", 1e-2),
+                                 (40, 64, "constant", 1e-2),
+                                 (20, 128, "constant", 1e-2)))
+    res = optimize_splines(dec, omega0, a, b, basis, cfg)
+    t = jnp.linspace(0.0, 1.0, 256)
+    phi = design_matrix(t, jnp.asarray(basis), 4)
+    gamma = eval_spline_design(res.omega, a, b, phi, t)
+    e_explicit = np.asarray(E.energy_single(dec, gamma))
+    np.testing.assert_allclose(np.asarray(res.energy), e_explicit, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gamma[0]), np.asarray(a), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gamma[-1]), np.asarray(b), atol=1e-4)
+
+
+def test_early_stop_and_phase_plan_mutually_exclusive(toy_problem):
+    from vae_latent_geometry_tpu.io.artifacts import SplineBatchArtifact
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    dec, a, b, basis, omega0 = toy_problem
+    art = SplineBatchArtifact(
+        a=np.asarray(a), b=np.asarray(b), omega_init=np.asarray(omega0),
+        basis=np.asarray(basis), n_poly=4,
+        pair_indices=np.zeros((len(a), 2), np.int64),
+        valid=np.ones(len(a), bool),
+        pair_labels=[["x", "y"]] * len(a), representatives=[])
+    cfg = _small_cfg(steps=10, early_stop=True,
+                     phase_plan=((10, 32, "constant", 1e-2),),
+                     energy={"mode": "single", "num_t": 64})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        optimize_spline_batch(dec, art, cfg=cfg)

@@ -248,3 +248,46 @@ def test_workload_slice_dp_sharded_matches_single_device(mesh8):
     assert sizes == {8 // mesh8.shape["dp"]}, (
         f"expected dp-sharded pair axis, got shard slices {row_slices}")
     assert len(row_slices) == mesh8.shape["dp"]
+
+
+@pytest.mark.parametrize("recipe", ["two_phase", "phase_plan"])
+def test_sharded_fast_recipes_match_single_device(mesh8, ensemble, rng,
+                                                  recipe):
+    """The production --fast (coarse traj_num_t phase + full-resolution
+    polish) and --turbo (multi-phase quadrature ladder) recipes run through
+    the SAME ``_optimize_scan`` under the dp x ep shard_map — the /8
+    wall-clock extrapolation for ``experiment/full133_turbo_timing.json``
+    rests on this path being trajectory-identical to the single-device
+    run."""
+    from vae_latent_geometry_tpu.ops.energy_pallas import fused_available
+
+    if not fused_available():
+        pytest.skip("pallas unavailable")
+    B = 6  # not a multiple of dp=4 -> exercises padding too
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    basis, _ = nullspace_basis(4)
+    omega0 = jnp.zeros((B, 5, 2))
+    if recipe == "two_phase":
+        cfg = GeodesicConfig(
+            steps=24, lr=3e-3, lr_schedule="cosine",
+            traj_num_t=16, polish_steps=8, polish_lr=1e-3,
+            energy=EnergyConfig(num_t=32, mode="expected_fused"))
+    else:  # the --turbo ladder shape on tiny grids
+        # every rung satisfies the fused-kernel divisibility floor (T >= 16):
+        # a sub-floor rung would fall back to XLA on one path but not the
+        # other, and the symmetric omega0=0 start can bifurcate under the
+        # different float orderings
+        cfg = GeodesicConfig(
+            steps=1, energy=EnergyConfig(num_t=32, mode="expected_fused"),
+            phase_plan=((24, 16, "cosine", 3e-3),
+                        (8, 16, "constant", 1e-3),
+                        (4, 32, "constant", 1e-3)))
+    res_shard = sharded_optimize_splines(ensemble, omega0, a, b, basis, cfg,
+                                         mesh8)
+    res_single = optimize_splines(ensemble, omega0, a, b, basis, cfg)
+    np.testing.assert_allclose(np.asarray(res_shard.energy),
+                               np.asarray(res_single.energy), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_shard.omega),
+                               np.asarray(res_single.omega),
+                               rtol=1e-3, atol=1e-5)

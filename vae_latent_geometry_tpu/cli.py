@@ -209,15 +209,26 @@ def cmd_init_splines(args):
 # full133_fast_timing.json).
 FAST_PRESET = {"steps": 1000, "lr": 3e-3, "lr_schedule": "cosine",
                "traj_num_t": 512, "polish_steps": 300, "polish_lr": 1e-3}
+# The measured turbo recipe (--turbo), expressed as a phase_plan ladder:
+# cosine(3e-3) x 1200 @ T=256 + 200 constant-lr steps @ T=2000.  Full-scale
+# measurement (full133_turbo_timing.json): 2.88x the reference recipe's
+# end-to-end speed with strictly lower final energies on 99.2% of all
+# 8,778 pairs.  More aggressive ladders were measured and REJECTED for the
+# preset: cos1200@128+100@512+{50,100}@2000 reach 1.26-1.65 s/chunk (vs
+# 2.81) but the strictly-better fraction drops to 96.8-97.4% at full scale
+# (experiment/turbo_ladder_fullscale.json) — the preset stays at the
+# dominance-preserving point.
+TURBO_PHASES = ((1200, 256, "cosine", 3e-3),
+                (200, 2000, "constant", 1e-3))
 _FAST_FLAG_DEFAULTS = {"steps": 1000, "lr": 1e-3, "lr_schedule": "constant",
                        "traj_num_t": None, "polish_steps": 0,
                        "polish_lr": 1e-3}
 
 
-def apply_fast_preset(args) -> None:
+def apply_fast_preset(args, preset=None) -> None:
     """Fill the fast-recipe values into ``args`` in place; any flag the user
     set explicitly (i.e. that differs from its parser default) wins."""
-    for k, v in FAST_PRESET.items():
+    for k, v in (preset or FAST_PRESET).items():
         if getattr(args, k) == _FAST_FLAG_DEFAULTS[k]:
             setattr(args, k, v)
 
@@ -239,13 +250,14 @@ def cmd_optimize(args):
         f"spline_batch_init_{args.init_type}_{args.pair_count}.npz")
     art = load_spline_batch(spline_path)
     data = _load_data(args).x if not args.no_euclidean else None
-    if args.fast:
+    if args.fast and not args.turbo:
         apply_fast_preset(args)
     cfg = GeodesicConfig(
         steps=args.steps, lr=args.lr, batch_size=args.batch_size,
         lr_schedule=args.lr_schedule, early_stop=args.early_stop,
         traj_num_t=args.traj_num_t, polish_steps=args.polish_steps,
         polish_lr=args.polish_lr,
+        phase_plan=TURBO_PHASES if args.turbo else None,
         energy=EnergyConfig(num_t=args.num_t, mc_samples=args.mc_samples,
                             mode=args.energy_mode),
     )
@@ -483,6 +495,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(experiment/fast_recipe_probe.json); sets "
                         "steps/lr/schedule/traj-num-t/polish unless "
                         "explicitly given")
+    o.add_argument("--turbo", action="store_true",
+                   help="measured turbo recipe (cosine 1200 steps @ T=256 "
+                        "+ 200 polish @ T=2000): 2.88x the reference "
+                        "recipe's end-to-end speed with strictly lower "
+                        "final energies on 99.2%% of pairs "
+                        "(experiment/full133_turbo_timing.json); overrides "
+                        "steps/lr/schedule/traj-num-t/polish flags")
     o.add_argument("--lr", type=float, default=1e-3)
     o.add_argument("--batch-size", type=int, default=200)
     o.add_argument("--num-t", type=int, default=2000)

@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence
+from typing import Any, Optional, Sequence, Tuple
 
 
 @dataclass(frozen=True)
@@ -115,6 +115,23 @@ class GeodesicConfig:
     # speed.  Ignored unless ``traj_num_t`` is set.
     polish_steps: int = 0
     polish_lr: float = 1e-3
+    # General multi-phase quadrature ladder — supersedes the two-phase
+    # ``traj_num_t``/``polish_steps`` mechanism when set.  A tuple of
+    # (steps, num_t, lr_schedule, lr) phases, run in sequence with omega
+    # warm-started and fresh Adam state per phase; final energies are still
+    # re-evaluated on the full ``energy.num_t`` grid at exact float32 (the
+    # standard contract).  The CLI --turbo preset ships the measured
+    # dominance-preserving point ((1200, 256, "cosine", 3e-3),
+    # (200, 2000, "constant", 1e-3)): 2.88x the reference recipe with
+    # strictly lower final energies on 99.2% of production pairs
+    # (experiment/full133_turbo_timing.json).  More aggressive ladders
+    # (e.g. cos1200@128+100@512+50@2000, ~6x per-chunk) were measured at
+    # full scale and trade the strictly-better fraction down to ~97%
+    # (experiment/turbo_ladder_fullscale.json).  num_t entries must satisfy the
+    # fused-kernel divisibility rules (powers of two are safe): a value like
+    # 1000 silently falls back to the ~10x-slower XLA path (warned at trace
+    # time).
+    phase_plan: Optional[Tuple[Tuple[int, int, str, float], ...]] = None
     energy: EnergyConfig = field(default_factory=EnergyConfig)
     spline: SplineConfig = field(default_factory=SplineConfig)
     # Single-spline early stopping (reference optimize_energy.py:119-165).

@@ -142,9 +142,20 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
             from vae_latent_geometry_tpu.ops.energy_pallas import (
                 active_weights_local,
                 energy_expected_sharded,
+                stats_fits,
                 uniform_weights_local,
             )
 
+            if not stats_fits(T, B, D, X, m_dec):
+                # no silent fallback here: an XLA fallback would need its
+                # own psum assembly, and an unguarded shape reaches Mosaic
+                # as a cryptic lowering error — fail with the fix instead
+                raise ValueError(
+                    f"energy mode {mode!r} with ep sharding: the stats "
+                    f"kernel rejects shape (T={T}, B={B}, D={D}, X={X}, "
+                    f"M_local={m_dec}) — pick num_t with an 8-aligned "
+                    "divisor (powers of two >= 16 are safe; "
+                    "ops.energy_pallas.stats_fits has the rules)")
             m_total = m_dec * jax.lax.psum(1, ep_axis)
             precision = ("bfloat16" if mode.endswith("bf16")
                          else kernel_precision)
@@ -233,12 +244,23 @@ def _phase_cfgs(cfg: GeodesicConfig) -> list:
     """Phase list the Adam loop runs, each with its own step count,
     quadrature resolution, and schedule.
 
-    Single phase unless both ``traj_num_t`` and ``polish_steps`` are set:
-    then a coarse phase (``steps`` @ ``traj_num_t``, the configured
-    schedule) is followed by a full-resolution polish phase
-    (``polish_steps`` @ ``energy.num_t``, constant ``polish_lr``, fresh
-    Adam state) warm-started from the coarse solution.  Measured recipe and
-    per-pair dominance: experiment/fast_recipe_probe.json."""
+    ``phase_plan`` (when set) wins outright: each (steps, num_t,
+    lr_schedule, lr) entry becomes one phase (measured production ladder:
+    experiment/fast_recipe_probe4.json).  Otherwise single phase unless
+    both ``traj_num_t`` and ``polish_steps`` are set: then a coarse phase
+    (``steps`` @ ``traj_num_t``, the configured schedule) is followed by a
+    full-resolution polish phase (``polish_steps`` @ ``energy.num_t``,
+    constant ``polish_lr``, fresh Adam state) warm-started from the coarse
+    solution.  Measured recipe and per-pair dominance:
+    experiment/fast_recipe_probe.json."""
+    if cfg.phase_plan:
+        return [
+            dataclasses.replace(
+                cfg, steps=int(s), lr=float(lr), lr_schedule=sched,
+                traj_num_t=None, polish_steps=0, phase_plan=None,
+                energy=dataclasses.replace(cfg.energy, num_t=int(T)))
+            for (s, T, sched, lr) in cfg.phase_plan
+        ]
     coarse = _traj_cfg(cfg)
     if cfg.traj_num_t is None or cfg.polish_steps <= 0:
         return [coarse]

@@ -175,14 +175,15 @@ def optimize_spline_batch(
                 art.basis, cfg, mesh, key=jax.random.fold_in(key, start),
             )
         if cfg.early_stop:
-            if cfg.traj_num_t is not None and cfg.polish_steps > 0:
-                # the while-loop optimizer has no polish phase; running it
-                # would silently drop the full-resolution pass the fast
-                # recipe's dominance evidence depends on
+            if (cfg.phase_plan
+                    or (cfg.traj_num_t is not None and cfg.polish_steps > 0)):
+                # the while-loop optimizer has no polish/ladder phases;
+                # running it would silently drop the full-resolution pass
+                # the fast recipe's dominance evidence depends on
                 raise ValueError(
-                    "early_stop and the two-phase fast recipe "
-                    "(traj_num_t + polish_steps) are mutually exclusive — "
-                    "pick one")
+                    "early_stop and the multi-phase fast recipes "
+                    "(traj_num_t + polish_steps, or phase_plan) are "
+                    "mutually exclusive — pick one")
             # chunk-level convergence exit: the while-loop optimizer stops a
             # chunk when every spline is out of patience instead of burning
             # the fixed step budget (full-matrix timing:
