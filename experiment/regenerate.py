@@ -426,11 +426,12 @@ def stage_train():
 
 
 def _run_full133_two_phase(tag, steps, traj_num_t, polish_steps, note,
-                           phase_plan=None):
+                           phase_plan=None, mode="expected_fused",
+                           prec=None, fixed_tag="euclidean"):
     """Shared driver for the multi-phase (coarse-T trajectory + full-T
     polish, or an explicit phase_plan ladder) full-matrix recipes; writes
     full133_<tag>_timing.json with a dominance comparison against the
-    committed fixed-1000-step matrix."""
+    committed fixed-1000-step matrix for ``fixed_tag``."""
     from vae_latent_geometry_tpu.config import (
         EnergyConfig,
         GeodesicConfig,
@@ -440,6 +441,7 @@ def _run_full133_two_phase(tag, steps, traj_num_t, polish_steps, note,
     from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
     from vae_latent_geometry_tpu.pipeline.full_run import run_distance_pipeline
 
+    prec = prec or BULK_PREC
     params = load_evae_checkpoint(f"{REF}/experiment/model_seed12.pt")
     data = load_tasic()
     t0 = time.perf_counter()
@@ -450,14 +452,14 @@ def _run_full133_two_phase(tag, steps, traj_num_t, polish_steps, note,
             steps=steps, lr=3e-3, lr_schedule="cosine", batch_size=200,
             traj_num_t=traj_num_t, polish_steps=polish_steps, polish_lr=1e-3,
             phase_plan=phase_plan,
-            energy=EnergyConfig(num_t=2000, mode="expected_fused",
-                                kernel_precision=BULK_PREC)),
+            energy=EnergyConfig(num_t=2000, mode=mode,
+                                kernel_precision=prec)),
         verbose=False,
     )
     wall = time.perf_counter() - t0
 
     fixed_path = os.path.join(OUT, "plots",
-                              "geodesic_matrix_seed12_euclidean_133.json")
+                              f"geodesic_matrix_seed12_{fixed_tag}_133.json")
     cmp = None
     if os.path.exists(fixed_path):
         fixed = json.load(open(fixed_path))
@@ -480,7 +482,7 @@ def _run_full133_two_phase(tag, steps, traj_num_t, polish_steps, note,
     _write(f"full133_{tag}_timing.json", {
         "note": note,
         "workload": "133 classes, 8778 pairs, 10 decoders, "
-                    f"expected_fused@{BULK_PREC} trajectory, single v5e chip",
+                    f"{mode}@{prec} trajectory, single v5e chip",
         "wall_clock_seconds": round(wall, 1),
         "stage_timings": {k: round(v, 2) for k, v in res.timings.items()},
         "pairs_valid": int(res.artifact.valid.sum()),
@@ -529,6 +531,29 @@ def stage_full133_turbo():
              "tunnel warmup")
 
 
+def stage_full133_mc_turbo():
+    """The turbo phase ladder applied to the SEMANTICS-FAITHFUL estimator
+    (mc_fused, the reference's own MC decoder-pair energy,
+    src/optimize.py:38-75): the recipe mechanism is estimator-agnostic, so
+    the 546 s fixed MC matrix (full133_mc_timing.json) should drop by a
+    similar factor to the expected-mode turbo.  CLI equivalent:
+    ``optimize --turbo --energy-mode mc_fused``.  Dominance is compared
+    against the committed fixed MC matrix; both sides' final energies are
+    single M=2 MC draws at exact f32 T=2000 (the per-pair ratio carries MC
+    noise of a ~4,000-draw average, so expect a slightly wider band than
+    the expected-mode comparisons)."""
+    from vae_latent_geometry_tpu.cli import TURBO_PHASES
+
+    _run_full133_two_phase(
+        "mc_turbo", steps=1200, traj_num_t=None, polish_steps=0,
+        phase_plan=TURBO_PHASES, mode="mc_fused", prec="f32x3",
+        fixed_tag="mc",
+        note="turbo ladder on the MC estimator: cosine(3e-3) x 1200 @ "
+             "T=256 + 200 @ T=2000 const 1e-3, mc_fused@f32x3; final "
+             "energies exact-f32 T=2000 MC draws; timing excludes one-time "
+             "tunnel warmup and first-compile of the T=256 MC program")
+
+
 STAGES = {
     "golden_a": stage_golden_a,
     "golden_b": stage_golden_b,
@@ -538,6 +563,7 @@ STAGES = {
     "full133_earlystop": stage_full133_earlystop,
     "full133_fast": stage_full133_fast,
     "full133_turbo": stage_full133_turbo,
+    "full133_mc_turbo": stage_full133_mc_turbo,
     "golden_ensemble": stage_golden_ensemble,
     "dscale": stage_dscale,
     "cov": stage_cov,

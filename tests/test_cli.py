@@ -110,7 +110,7 @@ def test_fast_preset_respects_explicit_flags():
 
 
 def test_turbo_phase_plan_parses_and_expands():
-    """--turbo maps to the measured three-phase ladder (TURBO_PHASES,
+    """--turbo maps to the measured two-phase ladder (TURBO_PHASES,
     full133_turbo_timing.json); _phase_cfgs expands it into per-phase
     configs with the ladder's steps/num_t/schedule/lr."""
     from vae_latent_geometry_tpu.cli import TURBO_PHASES, build_parser
