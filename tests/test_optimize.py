@@ -353,6 +353,18 @@ def test_phase_plan_reports_full_resolution_energy(toy_problem):
     np.testing.assert_allclose(np.asarray(gamma[-1]), np.asarray(b), atol=1e-4)
 
 
+def test_phase_plan_rejects_malformed_entries(toy_problem):
+    from vae_latent_geometry_tpu.optim.geodesic import _phase_cfgs
+
+    with pytest.raises(ValueError, match=r"phase_plan\[1\] must be"):
+        _phase_cfgs(_small_cfg(phase_plan=((10, 32, "constant", 1e-2),
+                                           (10, 32))))
+    with pytest.raises(ValueError, match=r"phase_plan\[0\].*steps >= 1"):
+        _phase_cfgs(_small_cfg(phase_plan=((0, 32, "constant", 1e-2),)))
+    with pytest.raises(ValueError, match=r"lr > 0"):
+        _phase_cfgs(_small_cfg(phase_plan=((10, 32, "constant", 0.0),)))
+
+
 def test_early_stop_and_phase_plan_mutually_exclusive(toy_problem):
     from vae_latent_geometry_tpu.io.artifacts import SplineBatchArtifact
     from vae_latent_geometry_tpu.pipeline.optimize_stage import (

@@ -254,13 +254,25 @@ def _phase_cfgs(cfg: GeodesicConfig) -> list:
     solution.  Measured recipe and per-pair dominance:
     experiment/fast_recipe_probe.json."""
     if cfg.phase_plan:
-        return [
-            dataclasses.replace(
+        phases = []
+        for i, entry in enumerate(cfg.phase_plan):
+            try:
+                s, T, sched, lr = entry
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"phase_plan[{i}] must be a (steps, num_t, lr_schedule, "
+                    f"lr) tuple, got {entry!r}") from None
+            if int(s) < 1 or int(T) < 2 or float(lr) <= 0.0:
+                raise ValueError(
+                    f"phase_plan[{i}]={entry!r}: need steps >= 1, "
+                    "num_t >= 2, lr > 0")
+            # unknown lr_schedule values fail in _make_opt with the list of
+            # valid names, same as the top-level flag
+            phases.append(dataclasses.replace(
                 cfg, steps=int(s), lr=float(lr), lr_schedule=sched,
                 traj_num_t=None, polish_steps=0, phase_plan=None,
-                energy=dataclasses.replace(cfg.energy, num_t=int(T)))
-            for (s, T, sched, lr) in cfg.phase_plan
-        ]
+                energy=dataclasses.replace(cfg.energy, num_t=int(T))))
+        return phases
     coarse = _traj_cfg(cfg)
     if cfg.traj_num_t is None or cfg.polish_steps <= 0:
         return [coarse]
