@@ -369,7 +369,10 @@ def main():
         except Exception as ex:
             print(f"[bench] mode {name} failed ({type(ex).__name__}: {ex})",
                   file=sys.stderr)
-    ours = ladder.get("mc_fused") or ladder.get("mc")
+    # fall back through the MC rungs in quality order; "mc_float32" is the
+    # plain-XLA rung's ladder key (there is no bare "mc" entry)
+    ours = (ladder.get("mc_fused") or ladder.get("mc_fused_f32x2")
+            or ladder.get("mc_fused_float32") or ladder.get("mc_float32"))
     if ours is None:
         print("[bench] FATAL: every MC rung failed to run "
               f"(ladder: {ladder}) — no headline number to report",

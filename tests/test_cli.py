@@ -89,13 +89,17 @@ def test_cli_unknown_command_errors():
 
 
 def test_fast_preset_respects_explicit_flags():
-    """--fast fills the measured recipe; flags the user set explicitly win."""
-    from vae_latent_geometry_tpu.cli import FAST_PRESET, build_parser
+    """--fast fills the measured recipe; flags the user passed explicitly
+    win — including values that coincide with the reference defaults."""
+    from vae_latent_geometry_tpu.cli import (
+        FAST_PRESET,
+        apply_fast_preset,
+        build_parser,
+        fill_optimize_flag_defaults,
+    )
 
     p = build_parser()
     args = p.parse_args(["optimize", "--model", "m.pt", "--fast"])
-    from vae_latent_geometry_tpu.cli import apply_fast_preset
-
     apply_fast_preset(args)
     for k, v in FAST_PRESET.items():
         assert getattr(args, k) == v
@@ -107,6 +111,34 @@ def test_fast_preset_respects_explicit_flags():
     assert args.traj_num_t == 1024
     assert args.lr_schedule == "cosine"      # untouched flags still filled
     assert args.polish_steps == 300
+
+    # explicitly pinning a value equal to the reference default must stick
+    # (the old default-sentinel check silently overrode it)
+    args = p.parse_args(["optimize", "--model", "m.pt", "--fast",
+                         "--lr", "1e-3", "--lr-schedule", "constant"])
+    apply_fast_preset(args)
+    assert args.lr == 1e-3
+    assert args.lr_schedule == "constant"
+    assert args.traj_num_t == 512            # unset flags still get the preset
+
+
+def test_optimize_flags_without_fast_get_reference_defaults():
+    """Without --fast/--turbo the None sentinels resolve to the reference
+    semantics (1000 steps, lr 1e-3, constant schedule, no phases)."""
+    from vae_latent_geometry_tpu.cli import (
+        build_parser,
+        fill_optimize_flag_defaults,
+    )
+
+    p = build_parser()
+    args = p.parse_args(["optimize", "--model", "m.pt"])
+    fill_optimize_flag_defaults(args)
+    assert args.steps == 1000
+    assert args.lr == 1e-3
+    assert args.lr_schedule == "constant"
+    assert args.traj_num_t is None
+    assert args.polish_steps == 0
+    assert args.polish_lr == 1e-3
 
 
 def test_turbo_phase_plan_parses_and_expands():

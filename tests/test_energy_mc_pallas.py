@@ -138,3 +138,32 @@ def test_mc_fused_mode_in_optimizer(rng):
     hist = np.asarray(res.energy_history)
     assert np.isfinite(hist).all()
     assert hist[-1].mean() < hist[0].mean()
+
+
+def test_fused_fits_uses_the_mc_chunk_size():
+    """Regression: fused_fits must validate MC shapes with the SAME
+    target_rows the MC kernels actually chunk at (_TARGET_ROWS_MC) — at the
+    old 4096 the guard approved shapes (e.g. T=120, B=200 -> Tc=24) whose
+    real kernel chunk (Tc=8) violates the Mosaic Tc >= 16 floor, turning
+    the clean XLA fallback into a Mosaic lowering error."""
+    from vae_latent_geometry_tpu.ops.energy_mc_pallas import _common
+    from vae_latent_geometry_tpu.ops.energy_pallas import (
+        _MAX_BB_MC,
+        _TARGET_ROWS_MC,
+        _pick_bb,
+        _pick_chunk,
+        _round_up,
+        fused_fits,
+    )
+
+    # the exact mismatch class: guard said yes at 4096, kernel picks Tc=8
+    assert not fused_fits(120, 200, 2, 50, 10, mc=True)
+    # tuned production shape still accepted
+    assert fused_fits(2000, 200, 2, 50, 10, mc=True)
+    # exhaustive agreement on the floor check over a realistic range
+    for T in range(16, 2501, 8):
+        for B in (16, 50, 128, 200, 256):
+            Bb = _pick_bb(_round_up(B, 8), _MAX_BB_MC)
+            tc_kernel = _pick_chunk(T, Bb, target_rows=_TARGET_ROWS_MC)
+            if fused_fits(T, B, 2, 50, 10, mc=True):
+                assert tc_kernel % 8 == 0 and tc_kernel >= 16, (T, B, tc_kernel)

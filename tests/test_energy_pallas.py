@@ -364,3 +364,24 @@ def test_transposed_kernel_in_optimizer(rng):
     hist = np.asarray(res.energy_history)
     assert np.isfinite(hist).all()
     assert hist[-1].mean() < hist[0].mean()
+
+
+def test_wmb_and_decoder_cotangents_are_true_zeros(setup):
+    """The not-differentiated contract is enforced at entry: grads w.r.t.
+    the weight plane and the decoder params through the public fused energy
+    are exact zeros (stop_gradient), not silently-wrong values from the
+    custom rule."""
+    from vae_latent_geometry_tpu.ops.energy_pallas import uniform_weights
+
+    decs, gamma = setup
+    M = 4
+    wmb = uniform_weights(M, gamma.shape[1])
+
+    g_wmb = jax.grad(
+        lambda w: jnp.sum(energy_expected_fused(decs, gamma, w)))(wmb)
+    assert np.all(np.asarray(g_wmb) == 0.0)
+
+    g_dec = jax.grad(
+        lambda d: jnp.sum(energy_expected_fused(d, gamma)))(decs)
+    assert all(np.all(np.asarray(leaf) == 0.0)
+               for leaf in jax.tree_util.tree_leaves(g_dec))

@@ -291,3 +291,34 @@ def test_sharded_fast_recipes_match_single_device(mesh8, ensemble, rng,
     np.testing.assert_allclose(np.asarray(res_shard.omega),
                                np.asarray(res_single.omega),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_early_stop_rejected_on_mesh(mesh8, rng):
+    """Regression: the mesh branch of optimize_spline_batch used to return
+    before the early_stop dispatch, silently burning the fixed step budget
+    on --dp/--ep runs; now the invalid combination errors up front."""
+    from vae_latent_geometry_tpu.config import ModelConfig
+    from vae_latent_geometry_tpu.io.artifacts import SplineBatchArtifact
+    from vae_latent_geometry_tpu.models.evae import evae_init
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    params = evae_init(jax.random.PRNGKey(0),
+                       ModelConfig(input_dim=8, num_decoders=2,
+                                   encoder_hidden=(8,), decoder_hidden=(8,)))
+
+    B = 4
+    basis, _ = nullspace_basis(4)
+    art = SplineBatchArtifact(
+        a=rng.normal(size=(B, 2)).astype(np.float32),
+        b=rng.normal(size=(B, 2)).astype(np.float32),
+        omega_init=np.zeros((B, 5, 2), np.float32),
+        basis=np.asarray(basis), n_poly=4,
+        pair_indices=np.zeros((B, 2), np.int64),
+        valid=np.ones(B, bool),
+        pair_labels=[["x", "y"]] * B, representatives=[])
+    cfg = GeodesicConfig(steps=5, early_stop=True,
+                         energy=EnergyConfig(num_t=32, mode="mc"))
+    with pytest.raises(ValueError, match="not supported on a sharded"):
+        optimize_spline_batch(params, art, cfg=cfg, mesh=mesh8)

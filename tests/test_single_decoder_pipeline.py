@@ -153,3 +153,31 @@ def test_optimize_stage_resume(tmp_path, rng):
                                full.omega_optimized[:3])
     np.testing.assert_allclose(resumed.geodesic_length[3:],
                                full.geodesic_length[3:], rtol=1e-5)
+
+
+def test_async_checkpointer_survives_transient_write_failure(capsys):
+    """A failing mid-run snapshot write must not destroy a completed run:
+    close() reports the error instead of raising, and a later successful
+    write clears an earlier failure."""
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        _AsyncCheckpointer,
+    )
+
+    calls = []
+
+    def flaky(item):
+        calls.append(item)
+        if item == "bad":
+            raise OSError("disk momentarily full")
+
+    s = _AsyncCheckpointer(flaky)
+    s.submit("bad")
+    err = s.close()
+    assert isinstance(err, OSError)
+
+    s2 = _AsyncCheckpointer(flaky)
+    s2.submit("bad")
+    import time
+    time.sleep(0.2)          # let the failing write land first
+    s2.submit("good")
+    assert s2.close() is None  # recovered: last write succeeded

@@ -220,6 +220,11 @@ FAST_PRESET = {"steps": 1000, "lr": 3e-3, "lr_schedule": "cosine",
 # dominance-preserving point.
 TURBO_PHASES = ((1200, 256, "cosine", 3e-3),
                 (200, 2000, "constant", 1e-3))
+# Reference-semantics defaults for the recipe-affected optimize flags.  The
+# parser leaves these at None (a sentinel) so "user passed the flag" is
+# distinguishable from "left at default" — a user who explicitly pins e.g.
+# `--fast --lr 1e-3` keeps their lr; the preset only fills flags that were
+# not given.  After preset application, remaining Nones become these values.
 _FAST_FLAG_DEFAULTS = {"steps": 1000, "lr": 1e-3, "lr_schedule": "constant",
                        "traj_num_t": None, "polish_steps": 0,
                        "polish_lr": 1e-3}
@@ -227,9 +232,16 @@ _FAST_FLAG_DEFAULTS = {"steps": 1000, "lr": 1e-3, "lr_schedule": "constant",
 
 def apply_fast_preset(args, preset=None) -> None:
     """Fill the fast-recipe values into ``args`` in place; any flag the user
-    set explicitly (i.e. that differs from its parser default) wins."""
+    passed explicitly (non-None sentinel) wins."""
     for k, v in (preset or FAST_PRESET).items():
-        if getattr(args, k) == _FAST_FLAG_DEFAULTS[k]:
+        if getattr(args, k) is None:
+            setattr(args, k, v)
+
+
+def fill_optimize_flag_defaults(args) -> None:
+    """Resolve remaining None sentinels to the reference defaults."""
+    for k, v in _FAST_FLAG_DEFAULTS.items():
+        if getattr(args, k) is None:
             setattr(args, k, v)
 
 
@@ -252,6 +264,7 @@ def cmd_optimize(args):
     data = _load_data(args).x if not args.no_euclidean else None
     if args.fast and not args.turbo:
         apply_fast_preset(args)
+    fill_optimize_flag_defaults(args)
     cfg = GeodesicConfig(
         steps=args.steps, lr=args.lr, batch_size=args.batch_size,
         lr_schedule=args.lr_schedule, early_stop=args.early_stop,
@@ -474,7 +487,11 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--init-type", default="entropy",
                    choices=["entropy", "euclidean"])
     o.add_argument("--pair-count", type=int, default=10)
-    o.add_argument("--steps", type=int, default=1000)
+    # recipe-affected flags default to the None sentinel (resolved to the
+    # reference defaults in _FAST_FLAG_DEFAULTS after preset application)
+    # so --fast/--turbo can tell "explicitly passed" from "left at default"
+    o.add_argument("--steps", type=int, default=None,
+                   help="Adam steps per chunk (default 1000)")
     o.add_argument("--early-stop", action="store_true",
                    help="chunk-level convergence exit (batched early "
                         "stopping) instead of the fixed step budget")
@@ -482,12 +499,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="trajectory-only quadrature resolution (final "
                         "energies still reported at --num-t); prefer "
                         "powers of two, e.g. 1024")
-    o.add_argument("--polish-steps", type=int, default=0,
+    o.add_argument("--polish-steps", type=int, default=None,
                    help="extra full-resolution Adam steps after the "
-                        "--traj-num-t coarse phase (two-phase fast recipe)")
-    o.add_argument("--polish-lr", type=float, default=1e-3)
-    o.add_argument("--lr-schedule", default="constant",
-                   choices=["constant", "cosine"])
+                        "--traj-num-t coarse phase (two-phase fast recipe; "
+                        "default 0)")
+    o.add_argument("--polish-lr", type=float, default=None,
+                   help="(default 1e-3)")
+    o.add_argument("--lr-schedule", default=None,
+                   choices=["constant", "cosine"],
+                   help="(default constant, the reference semantics)")
     o.add_argument("--fast", action="store_true",
                    help="measured fast recipe: reaches lower final "
                         "energies than the reference 1000-step run on "
@@ -502,7 +522,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "final energies on 99.2%% of pairs "
                         "(experiment/full133_turbo_timing.json); overrides "
                         "steps/lr/schedule/traj-num-t/polish flags")
-    o.add_argument("--lr", type=float, default=1e-3)
+    o.add_argument("--lr", type=float, default=None, help="(default 1e-3)")
     o.add_argument("--batch-size", type=int, default=200)
     o.add_argument("--num-t", type=int, default=2000)
     o.add_argument("--mc-samples", type=int, default=2)

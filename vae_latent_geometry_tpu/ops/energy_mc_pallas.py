@@ -667,17 +667,21 @@ def _common(decoders, gamma):
     ws, bs = _stack_weights(decoders)
     M = ws[0].shape[0]
     X = ws[-1].shape[-1]
-    from vae_latent_geometry_tpu.ops.energy_pallas import _MAX_BB_MC
+    from vae_latent_geometry_tpu.ops.energy_pallas import (
+        _MAX_BB_MC,
+        _TARGET_ROWS_MC,
+    )
 
     B_pad = _round_up(B, 8)
     Bb = _pick_bb(B_pad, _MAX_BB_MC)
     B_pad = _round_up(B_pad, Bb)
     # Tc >= 16 keeps offset value-slices at >= 8 sublanes (Mosaic limit).
-    # target_rows 2048 (not 4096): the MC backward's per-decoder multi-pass
-    # temporaries at float32 overflow the scoped-VMEM stack at 4096-row
-    # chunks (measured at T=256, B=16 -> Tc=T); every tuned configuration
-    # (T=2000) already lands on 2048-row chunks.
-    Tc = _pick_chunk(T, Bb, target_rows=2048)
+    # _TARGET_ROWS_MC = 2048 (not 4096): the MC backward's per-decoder
+    # multi-pass temporaries at float32 overflow the scoped-VMEM stack at
+    # 4096-row chunks (measured at T=256, B=16 -> Tc=T); every tuned
+    # configuration (T=2000) already lands on 2048-row chunks.  The shared
+    # constant keeps fused_fits validating with the same value.
+    Tc = _pick_chunk(T, Bb, target_rows=_TARGET_ROWS_MC)
     return T, B, B_pad, Bb, D, X, M, Tc, ws, bs
 
 

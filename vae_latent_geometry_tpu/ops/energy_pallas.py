@@ -79,6 +79,11 @@ _TARGET_ROWS_FWD = 4096
 _TARGET_ROWS_BWD = 4096
 _MAX_BB_EXPECTED = _SINGLE_BLOCK_MAX
 _MAX_BB_MC = _GRID_BB
+# MC kernels chunk at 2048 rows (their per-decoder multi-pass backward
+# temporaries overflow scoped VMEM at 4096): energy_mc_pallas._common reads
+# this constant, and fused_fits MUST validate with the same value or the
+# guard approves shapes whose real Tc lands under the Mosaic floor.
+_TARGET_ROWS_MC = 2048
 
 
 def _compiler_params():
@@ -758,7 +763,11 @@ def fused_fits(T, B, D, X, M, mc: bool = False, mc_samples: int = 2) -> bool:
     if D > 2 or X > 128 or M > 16:
         return False
     Bb = _pick_bb(_round_up(B, 8), _MAX_BB_MC if mc else _MAX_BB_EXPECTED)
-    Tc = _pick_chunk(T, Bb)
+    # the MC kernels pick their Tc at _TARGET_ROWS_MC (energy_mc_pallas
+    # _common); validating at the expected kernels' 4096 would approve
+    # shapes whose actual Tc violates the floor below
+    Tc = _pick_chunk(T, Bb,
+                     target_rows=_TARGET_ROWS_MC if mc else _TARGET_ROWS_FWD)
     if Tc % 8 != 0 or Tc < 16:
         return False
     lanes_x = _round_up(X, 128)
@@ -835,22 +844,17 @@ def energy_expected_fused(decoders, gamma, wmb=None, precision: str = "float32")
     Differentiable in ``gamma`` only — decoder weights receive zero
     cotangents (geodesic optimization never trains them; use the XLA path
     ``geometry.energy.energy_expected`` if you need weight gradients).
+    The contract is mechanically enforced: ``decoders``/``wmb`` are cut
+    with ``stop_gradient`` here at entry (outside the custom_vjp), so
+    anything differentiating through them (e.g. learned ensemble weights)
+    sees a true zero gradient by JAX semantics instead of silently relying
+    on the custom rule.
     """
-    e, _ = _fwd_impl(decoders, gamma, wmb, precision)
-    return e
-
-
-def energy_expected_fused_checked(decoders, gamma, wmb=None,
-                                  precision: str = "float32"):
-    """:func:`energy_expected_fused` with the not-differentiated contract on
-    ``decoders``/``wmb`` mechanically enforced: their cotangents are cut with
-    ``stop_gradient`` *outside* the custom_vjp, so anything differentiating
-    through them (e.g. learned ensemble weights) sees a true zero gradient by
-    JAX semantics instead of silently relying on the custom rule."""
     decoders = jax.lax.stop_gradient(decoders)
     if wmb is not None:
         wmb = jax.lax.stop_gradient(wmb)
-    return energy_expected_fused(decoders, gamma, wmb, precision)
+    e, _ = _fwd_impl(decoders, gamma, wmb, precision)
+    return e
 
 
 def _dims(decoders, gamma, target_rows: int = 4096):

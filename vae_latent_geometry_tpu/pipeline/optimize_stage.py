@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import queue
+import sys
 import threading
 from typing import Optional
 
@@ -44,7 +45,13 @@ class _AsyncCheckpointer:
     optimize loop hands a complete snapshot to a daemon thread and moves on;
     a snapshot that is still pending when a newer one arrives is simply
     replaced (every snapshot is self-contained, so only the newest matters).
-    ``close()`` drains the queue and re-raises any writer error."""
+
+    Write errors do NOT raise: the snapshots are best-effort crash
+    protection, and the authoritative final ``save_spline_batch`` is
+    synchronous in the caller — a transient mid-run write failure (e.g.
+    momentary ENOSPC) must not destroy an otherwise complete multi-minute
+    run whose final save would succeed.  ``close()`` drains the queue and
+    returns the last writer error (or None) for the caller to log."""
 
     def __init__(self, save_fn):
         self._save_fn = save_fn
@@ -60,7 +67,8 @@ class _AsyncCheckpointer:
                 return
             try:
                 self._save_fn(item)
-            except BaseException as e:  # surfaced on close()
+                self._err = None     # a later successful write clears it
+            except BaseException as e:  # reported (not raised) on close()
                 self._err = e
 
     def submit(self, item):
@@ -74,11 +82,12 @@ class _AsyncCheckpointer:
                 except queue.Empty:
                     pass
 
-    def close(self):
+    def close(self) -> Optional[BaseException]:
+        """Drain, stop the writer thread, and return the most recent write
+        error (None if the last write succeeded)."""
         self._q.put(None)
         self._t.join()
-        if self._err is not None:
-            raise self._err
+        return self._err
 
 
 def optimize_spline_batch(
@@ -148,6 +157,26 @@ def optimize_spline_batch(
         zb = np.asarray(z_mean)[art.pair_indices[:, 1]]
         eucl = np.linalg.norm(za - zb, axis=1).astype(np.float32)
 
+    # config validation up front — _submit is called per chunk and the mesh
+    # branch returns before the single-device dispatch, so checks living
+    # there are silently bypassed on sharded runs
+    if cfg.early_stop:
+        if cfg.phase_plan or (cfg.traj_num_t is not None
+                              and cfg.polish_steps > 0):
+            # the while-loop optimizer has no polish/ladder phases; running
+            # it would silently drop the full-resolution pass the fast
+            # recipe's dominance evidence depends on
+            raise ValueError(
+                "early_stop and the multi-phase fast recipes "
+                "(traj_num_t + polish_steps, or phase_plan) are "
+                "mutually exclusive — pick one")
+        if mesh is not None:
+            raise ValueError(
+                "early_stop is not supported on a sharded (mesh) run: the "
+                "while-loop optimizer is single-device — drop --early-stop "
+                "(fixed steps and the --fast/--turbo recipes shard fine) "
+                "or run without --dp/--ep")
+
     bs = cfg.batch_size
 
     def _submit(start):
@@ -175,15 +204,6 @@ def optimize_spline_batch(
                 art.basis, cfg, mesh, key=jax.random.fold_in(key, start),
             )
         if cfg.early_stop:
-            if (cfg.phase_plan
-                    or (cfg.traj_num_t is not None and cfg.polish_steps > 0)):
-                # the while-loop optimizer has no polish/ladder phases;
-                # running it would silently drop the full-resolution pass
-                # the fast recipe's dominance evidence depends on
-                raise ValueError(
-                    "early_stop and the multi-phase fast recipes "
-                    "(traj_num_t + polish_steps, or phase_plan) are "
-                    "mutually exclusive — pick one")
             # chunk-level convergence exit: the while-loop optimizer stops a
             # chunk when every spline is out of patience instead of burning
             # the fixed step budget (full-matrix timing:
@@ -249,7 +269,14 @@ def optimize_spline_batch(
             # the daemon thread serializes
             saver.submit((omega_opt.copy(), lengths.copy()))
     if saver is not None:
-        saver.close()
+        err = saver.close()
+        if err is not None:
+            # best-effort snapshots failed, but the results are complete in
+            # memory and the authoritative save below is synchronous — warn
+            # instead of discarding a finished run
+            print(f"[checkpoint] background snapshot writes failed "
+                  f"({type(err).__name__}: {err}); relying on the final "
+                  "synchronous save", file=sys.stderr)
 
     lengths = np.where(art.valid, lengths, np.nan)
     out = dataclasses.replace(

@@ -34,6 +34,15 @@ def _ensure_dir(path: str) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
 
 
+def _get_cmap(name: str, n: int):
+    """Resampled named colormap; `cm.get_cmap` is removed in matplotlib
+    3.11, `matplotlib.colormaps` appeared in 3.6."""
+    try:
+        return matplotlib.colormaps[name].resampled(n)
+    except AttributeError:  # pragma: no cover - matplotlib < 3.6
+        return cm.get_cmap(name, n)
+
+
 def _square_limits(latents: np.ndarray, margin_frac: float = 0.1):
     x, y = latents[:, 0], latents[:, 1]
     span = max(x.max() - x.min(), y.max() - y.min())
@@ -100,7 +109,7 @@ def plot_latent_density_with_splines(latents, labels, art, save_path: str,
     except Exception:
         ax.scatter(latents[:, 0], latents[:, 1], s=2, alpha=0.4)
 
-    colors = cm.get_cmap("tab10", max(min(len(art.a), max_splines), 1))
+    colors = _get_cmap("tab10", max(min(len(art.a), max_splines), 1))
     for i in range(min(len(art.a), max_splines)):
         if not art.valid[i]:
             continue
@@ -326,7 +335,7 @@ def plot_density_illustration(latents, art, save_path: str,
     else:
         ax.scatter(latents[:, 0], latents[:, 1], s=3, alpha=0.4, c="gray")
 
-    colors = cm.get_cmap("tab10", max(min(len(art.a), max_splines), 1))
+    colors = _get_cmap("tab10", max(min(len(art.a), max_splines), 1))
     for i in range(min(len(art.a), max_splines)):
         if not art.valid[i]:
             continue
