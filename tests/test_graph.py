@@ -235,3 +235,41 @@ def test_entropy_init_matches_reference_blob():
     assert d_ee < 0.75 * d_eu, (d_ee, d_eu)
     assert d_ee < 0.75 * d_ue, (d_ee, d_ue)
     assert d_uu < 0.15, f"euclidean-init curves too far from golden: {d_uu}"
+
+
+def test_custom_grid_requires_shape(rng):
+    from vae_latent_geometry_tpu.pipeline.init_splines import (
+        initialize_splines,
+    )
+
+    latents = rng.normal(size=(20, 2)).astype(np.float32)
+    grid = rng.normal(size=(25, 2)).astype(np.float32)
+    with pytest.raises(ValueError, match="grid_shape"):
+        initialize_splines(latents, [(0, 1)], grid=grid)
+
+
+def test_path_cap_warns_and_invalidates(rng):
+    """A Dijkstra path longer than max_path_len must surface as a warning,
+    not only as a silent NaN hole (reference paths are uncapped)."""
+    import warnings as _w
+
+    from vae_latent_geometry_tpu.config import InitConfig
+    from vae_latent_geometry_tpu.pipeline.init_splines import (
+        initialize_splines,
+    )
+
+    # endpoints in opposite corners of a grid: the shortest path needs
+    # ~2*grid_points hops, above the tiny cap
+    latents = np.array([[-1.0, -1.0], [1.0, 1.0]] * 3, np.float32)
+    latents += rng.normal(size=latents.shape).astype(np.float32) * 1e-3
+    cfg = InitConfig(grid_points_per_axis=12, knn=4, max_path_len=4)
+    with pytest.warns(UserWarning, match="max_path_len=4"):
+        res = initialize_splines(latents, [(0, 1)], cfg=cfg)
+    assert not res.valid[0]
+
+    # a sufficient cap keeps the pair (and must not warn)
+    cfg_ok = InitConfig(grid_points_per_axis=12, knn=4, max_path_len=64)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        res_ok = initialize_splines(latents, [(0, 1)], cfg=cfg_ok)
+    assert res_ok.valid[0]

@@ -1,5 +1,7 @@
 """IO layer: pytree checkpoints, spline artifacts, reference-blob interop."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -149,3 +151,25 @@ def test_reference_blob_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(back.omega_optimized, art.omega_optimized)
     np.testing.assert_allclose(back.geodesic_length, art.geodesic_length)
     assert back.metadata["steps"] == 7
+
+
+def test_save_pytree_writes_exact_path(tmp_path):
+    """save_pytree must write exactly the given name even without a .npz
+    suffix (np.savez silently appends one to bare paths, breaking the
+    save/load round trip)."""
+    import numpy as np
+
+    from vae_latent_geometry_tpu.io.checkpoint import (
+        load_pytree,
+        read_meta,
+        save_pytree,
+    )
+
+    tree = {"w": np.arange(4.0, dtype=np.float32)}
+    path = str(tmp_path / "model.ckpt")       # no .npz suffix
+    save_pytree(tree, path, {"tag": 1})
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".npz")
+    restored, meta = load_pytree(path, tree)
+    np.testing.assert_array_equal(restored["w"], tree["w"])
+    assert read_meta(path) == {"tag": 1} == meta

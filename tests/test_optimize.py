@@ -383,3 +383,51 @@ def test_early_stop_and_phase_plan_mutually_exclusive(toy_problem):
                      energy={"mode": "single", "num_t": 64})
     with pytest.raises(ValueError, match="mutually exclusive"):
         optimize_spline_batch(dec, art, cfg=cfg)
+
+
+def test_early_stop_restores_the_params_that_achieved_best_energy(toy_problem):
+    """Regression: best_omega must be the PRE-update params that achieved
+    the recorded best energy (reference optimize_energy.py:149-163), not the
+    params one Adam step past it.
+
+    Deterministic 2-step construction (mode=single is key-independent):
+    step 0 evaluates omega_0 and moves to omega_1; step 1 evaluates
+    omega_1 — the only possible improvement event — and moves to omega_2.
+    Correct semantics return E(omega_1); the off-by-one bug returned
+    E(omega_2), one descent step lower here (and arbitrarily higher on an
+    overshoot)."""
+    from vae_latent_geometry_tpu.optim.geodesic import _optimize_early_stop
+
+    dec, a, b, basis, omega0 = toy_problem
+    kw = dict(lr=2e-2, patience=100, energy={"mode": "single", "num_t": 64})
+    key = jax.random.PRNGKey(3)
+    basis_j = jnp.asarray(basis)
+
+    # omega_1 and its exact energy via the fixed-step optimizer (identical
+    # first step: same loss, same Adam init)
+    res1 = optimize_splines(dec, omega0, a, b, basis,
+                            _small_cfg(steps=1, **kw), key=key)
+    res2 = optimize_splines(dec, omega0, a, b, basis,
+                            _small_cfg(steps=2, **kw), key=key)
+    e1, e2 = np.asarray(res1.energy), np.asarray(res2.energy)
+    e0 = np.asarray(E.energy_single(
+        dec, eval_spline_design(omega0, a, b,
+                                design_matrix(jnp.linspace(0., 1., 64),
+                                              basis_j, 4),
+                                jnp.linspace(0., 1., 64))))
+    # expected contract value per spline: E(omega_1) when step 1 improved
+    # on omega_0 (tracker update fires), else E(omega_0)
+    improved = e1 < e0 * (1.0 - 1e-6)
+    expected = np.where(improved, e1, e0)
+    # preconditions: at least one spline improves, and on improving splines
+    # E(omega_2) differs measurably from E(omega_1) so the assertion can
+    # discriminate the off-by-one
+    assert improved.any(), "no spline improved on step 1; adjust lr"
+    # must exceed the allclose tolerance below by a wide margin
+    assert (np.abs(e2 - e1)[improved] > 20e-5 * e1[improved]).all(), \
+        "steps too similar to discriminate the off-by-one"
+
+    _, e_best = _optimize_early_stop(
+        dec, omega0, a, b, basis_j, key, _small_cfg(steps=2, **kw), None,
+        block=2)
+    np.testing.assert_allclose(np.asarray(e_best), expected, rtol=1e-5)

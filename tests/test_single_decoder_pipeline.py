@@ -181,3 +181,110 @@ def test_async_checkpointer_survives_transient_write_failure(capsys):
     time.sleep(0.2)          # let the failing write land first
     s2.submit("good")
     assert s2.close() is None  # recovered: last write succeeded
+
+
+def _toy_art(rng, P=6, valid=None):
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.io.artifacts import SplineBatchArtifact
+
+    basis, _ = nullspace_basis(4)
+    return SplineBatchArtifact(
+        a=rng.normal(size=(P, 2)).astype(np.float32),
+        b=rng.normal(size=(P, 2)).astype(np.float32),
+        omega_init=np.zeros((P, 5, 2), np.float32),
+        basis=basis, n_poly=4,
+        pair_indices=np.arange(2 * P).reshape(P, 2),
+        valid=np.ones(P, bool) if valid is None else np.asarray(valid, bool),
+        pair_labels=[["a", "b"]] * P,
+        representatives=[],
+    )
+
+
+def test_resume_refuses_checkpoint_from_different_config(tmp_path, rng,
+                                                         capsys):
+    """A checkpoint produced under one config must never be silently mixed
+    into a run with another: the stamp mismatch is detected, the checkpoint
+    ignored, and the run recomputes from scratch."""
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    params = vae_init(jax.random.PRNGKey(4))
+    art = _toy_art(rng)
+    ckpt = str(tmp_path / "opt.npz")
+    cfg_a = GeodesicConfig(steps=20, batch_size=3,
+                           energy=EnergyConfig(num_t=48, mode="single"))
+    optimize_spline_batch(params, art, cfg=cfg_a, checkpoint_path=ckpt,
+                          log_every_chunk=False)
+
+    cfg_b = GeodesicConfig(steps=40, batch_size=3,
+                           energy=EnergyConfig(num_t=48, mode="single"))
+    res_b = optimize_spline_batch(params, art, cfg=cfg_b,
+                                  checkpoint_path=ckpt, log_every_chunk=True)
+    err = capsys.readouterr().err
+    assert "different config" in err
+    # the 40-step run recomputed everything (fresh start, not resumed)
+    fresh = optimize_spline_batch(params, art, cfg=cfg_b,
+                                  checkpoint_path=None)
+    np.testing.assert_allclose(res_b.geodesic_length, fresh.geodesic_length,
+                               rtol=1e-6)
+
+
+def test_resume_skips_chunks_whose_only_missing_pairs_are_invalid(tmp_path,
+                                                                  rng,
+                                                                  capsys):
+    """A completed checkpoint containing an invalid pair (NaN-masked) must
+    resume as a no-op instead of re-optimizing that pair's whole chunk."""
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    params = vae_init(jax.random.PRNGKey(4))
+    valid = np.ones(6, bool)
+    valid[4] = False
+    art = _toy_art(rng, valid=valid)
+    ckpt = str(tmp_path / "opt.npz")
+    cfg = GeodesicConfig(steps=15, batch_size=3,
+                         energy=EnergyConfig(num_t=48, mode="single"))
+    optimize_spline_batch(params, art, cfg=cfg, checkpoint_path=ckpt,
+                          log_every_chunk=False)
+
+    res = optimize_spline_batch(params, art, cfg=cfg, checkpoint_path=ckpt,
+                                log_every_chunk=True)
+    out = capsys.readouterr().out
+    assert "[resume] 6/6 splines already optimized" in out
+    assert "[chunk" not in out          # no chunk was re-run
+    assert np.isnan(res.geodesic_length[4])
+
+
+def test_resume_without_data_keeps_stored_euclidean(tmp_path, rng):
+    """Resuming a run that already persisted euclidean distances must not
+    overwrite them with None when the resume invocation has no data."""
+    import dataclasses
+
+    from vae_latent_geometry_tpu.io.artifacts import (
+        load_spline_batch,
+        save_spline_batch,
+    )
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    params = vae_init(jax.random.PRNGKey(4))
+    art = _toy_art(rng)
+    ckpt = str(tmp_path / "opt.npz")
+    cfg = GeodesicConfig(steps=15, batch_size=3,
+                         energy=EnergyConfig(num_t=48, mode="single"))
+    optimize_spline_batch(params, art, cfg=cfg, checkpoint_path=ckpt,
+                          log_every_chunk=False)
+    # graft stored euclidean distances + a missing chunk into the checkpoint
+    prev = load_spline_batch(ckpt)
+    eucl = np.arange(6, dtype=np.float32)
+    glen = np.array(prev.geodesic_length)
+    glen[3:] = np.nan
+    save_spline_batch(dataclasses.replace(prev, euclidean_distance=eucl,
+                                          geodesic_length=glen), ckpt)
+
+    res = optimize_spline_batch(params, art, cfg=cfg, checkpoint_path=ckpt,
+                                data=None, log_every_chunk=False)
+    np.testing.assert_array_equal(res.euclidean_distance, eucl)

@@ -153,6 +153,12 @@ class InitConfig:
     grid_margin: float = 0.1
     knn: int = 8
     use_entropy: bool = False
+    # Padded-path cap for the batched least-squares fit.  A Dijkstra path
+    # longer than this is treated as unreachable (pair invalidated, loudly
+    # warned) — entropy-weighted graphs can produce long low-cost detours,
+    # so raise this if the warning fires.  Memory cost of the fit scales
+    # linearly with it.
+    max_path_len: int = 1024
     spline: SplineConfig = field(default_factory=SplineConfig)
 
 

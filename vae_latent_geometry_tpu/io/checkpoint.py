@@ -42,11 +42,17 @@ def _path_elem_str(p) -> str:
 
 
 def save_pytree(tree: Any, path: str, extra_meta: Optional[dict] = None) -> None:
-    """Save any pytree of arrays to ``path`` (.npz)."""
+    """Save any pytree of arrays to ``path`` — written to exactly that name.
+
+    ``np.savez`` silently appends ``.npz`` to bare string paths, which would
+    break the save/load round trip for suffix-less names (load/read_meta
+    open ``path`` verbatim); passing an open file handle keeps the name
+    exact."""
     leaves, _ = _flatten_with_paths(tree)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     meta = dict(extra_meta or {})
-    np.savez(path, __meta__=json.dumps(meta), **leaves)
+    with open(path, "wb") as f:
+        np.savez(f, __meta__=json.dumps(meta), **leaves)
 
 
 def read_meta(path: str) -> dict:
@@ -64,8 +70,6 @@ def save_train_state(params: Any, opt_state: Any, path: str, *, epoch: int,
     "optimizer/omega state for resume").  Atomic: written to a temp file and
     renamed, so a crash mid-save never corrupts the previous checkpoint."""
     meta = {"epoch": int(epoch), **(extra_meta or {})}
-    # np.savez appends .npz to names that don't end with it — keep the temp
-    # name .npz-suffixed so the rename source actually exists
     tmp = path + ".tmp.npz"
     save_pytree({"params": params, "opt_state": opt_state}, tmp, meta)
     os.replace(tmp, path)

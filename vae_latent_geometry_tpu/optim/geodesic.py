@@ -397,13 +397,17 @@ def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig
         )
         if cfg.energy.ep_axis is not None:
             grads = jax.lax.psum(grads, cfg.energy.ep_axis)
-        updates, opt_state = opt.update(grads, opt_state, omega)
-        omega = optax.apply_updates(omega, updates)
         rel_improvement = (best_e - e) / best_e
         improved = rel_improvement > cfg.delta          # (B,)
         best_e = jnp.where(improved, e, best_e)
+        # best params are the ones that ACHIEVED e — i.e. omega before this
+        # step's update (the reference tracks/restores exactly these,
+        # optimize_energy.py:149-163); saving the post-update omega would
+        # return params one Adam step past the best point
         best_omega = jnp.where(improved[:, None, None], omega, best_omega)
         patience_ctr = jnp.where(improved, 0, patience_ctr + 1)
+        updates, opt_state = opt.update(grads, opt_state, omega)
+        omega = optax.apply_updates(omega, updates)
         return (omega, opt_state, best_omega, best_e, patience_ctr), None
 
     def cond(state):

@@ -129,10 +129,14 @@ def sharded_optimize_splines(
             omega, e_final, _ = _optimize_scan(
                 decoders, omega0, a, b, basis, key, cfg, False, num_active
             )
-    omega = np.asarray(omega)[:n]
-    e_final = np.asarray(e_final)[:n]
-    return GeodesicResult(omega=jnp.asarray(omega), energy=jnp.asarray(e_final),
-                          lengths=jnp.sqrt(jnp.asarray(e_final)))
+    # trim the dp padding ON DEVICE and return device arrays: np.asarray
+    # here would force a host sync per call, serializing the multi-chunk
+    # enqueue-then-collect pipeline in pipeline/optimize_stage.py (callers
+    # device_get when they actually need the values)
+    omega = omega[:n]
+    e_final = e_final[:n]
+    return GeodesicResult(omega=omega, energy=e_final,
+                          lengths=jnp.sqrt(e_final))
 
 
 @partial(jax.jit, static_argnames=("model_cfg", "opt_name"), donate_argnums=(0, 1))

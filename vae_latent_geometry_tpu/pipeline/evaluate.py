@@ -170,9 +170,14 @@ def cov_analysis(
             idx = np.arange(start, stop)
             if n_sl < bs:  # pad: one compiled shape per run
                 idx = np.concatenate([idx, np.full(bs - n_sl, stop - 1)])
+            # nested fold: a flat s*C+start scheme collides across seeds as
+            # soon as a chunk offset reaches C (e.g. P*K=1050, bs=500 gives
+            # start=1000 == seed s+1's first chunk), reusing the exact MC
+            # decoder-draw stream between seeds — which correlates the very
+            # cross-seed noise CoV measures
             res = optimize_splines(
                 params.decoders, omega0[idx], a[idx], b[idx], basis, cfg,
-                key=jax.random.fold_in(key, s * 1000 + start),
+                key=jax.random.fold_in(jax.random.fold_in(key, s), start),
                 num_active=num_active[idx],
             )
             outs.append(np.asarray(res.lengths)[:n_sl])

@@ -21,6 +21,7 @@ TPU-first deltas from the reference:
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
@@ -96,19 +97,26 @@ def initialize_splines(
     cfg: InitConfig = InitConfig(),
     grid: Optional[np.ndarray] = None,
     grid_shape: Optional[Tuple[int, int]] = None,
-    max_path_len: int = 1024,
+    max_path_len: Optional[int] = None,
 ) -> InitializedSplines:
     """Initialize one spline per pair via Dijkstra + least-squares fit.
 
     latents: (N, 2) encoder means for the whole dataset.
     pairs:   dataset-index pairs (from pair selection).
     decoders: stacked ensemble pytree, required when cfg.use_entropy.
+    max_path_len: overrides ``cfg.max_path_len`` when given.
     """
     pairs = np.asarray(list(pairs), np.int64)
+    if max_path_len is None:
+        max_path_len = cfg.max_path_len
     if grid is None:
         grid, grid_shape = create_latent_grid(
             latents, cfg.grid_points_per_axis, cfg.grid_margin
         )
+    elif grid_shape is None:
+        raise ValueError(
+            "a custom `grid` requires `grid_shape` (nx, ny) — the nearest-"
+            "node snap and the kNN window search need the grid's 2-D layout")
     graph = grid_knn_graph(grid, grid_shape, k=cfg.knn)
     init_type = "euclidean"
     if cfg.use_entropy:
@@ -127,6 +135,18 @@ def initialize_splines(
     paths, lengths = extract_paths(pred, src_rows.astype(np.int32),
                                    uniq_sources.astype(np.int32),
                                    end_nodes, max_len=max_path_len)
+
+    # a length-0 pair whose target IS reachable (predecessor set) was
+    # dropped by the padded-path cap, not by graph topology — that must be
+    # loud: the reference reconstructs uncapped paths, so a silent drop
+    # here shows up only as an unexplained NaN hole in the matrix
+    capped = (lengths == 0) & (start_nodes != end_nodes) \
+        & (pred[src_rows, end_nodes] >= 0)
+    if capped.any():
+        warnings.warn(
+            f"{int(capped.sum())} pair(s) had Dijkstra paths longer than "
+            f"max_path_len={max_path_len} and were invalidated — raise "
+            "InitConfig.max_path_len to keep them", stacklevel=2)
 
     valid = (lengths > 1) & (start_nodes != end_nodes)
     P = len(pairs)

@@ -134,12 +134,31 @@ def optimize_spline_batch(
     lengths = np.full(P, np.nan, np.float32)
     done = np.zeros(P, bool)
 
+    # config stamp: written into every checkpoint snapshot so the resume
+    # path can refuse a checkpoint from a DIFFERENT optimization config
+    # instead of silently mixing its results into this run's
+    cfg_stamp = {"steps": cfg.steps, "energy_mode": cfg.energy.mode,
+                 "num_t": cfg.energy.num_t,
+                 "mc_samples": cfg.energy.mc_samples}
+
+    prev = None
     if checkpoint_path and os.path.exists(checkpoint_path):
-        prev = load_spline_batch(checkpoint_path)
-        if len(prev) == P and prev.omega_optimized is not None:
+        loaded = load_spline_batch(checkpoint_path)
+        prev_stamp = {k: loaded.metadata.get(k) for k in cfg_stamp
+                      if k in loaded.metadata}
+        if prev_stamp and any(prev_stamp[k] != cfg_stamp[k]
+                              for k in prev_stamp):
+            print(f"[resume] checkpoint at {checkpoint_path} was produced "
+                  f"by a different config ({prev_stamp} vs {cfg_stamp}) — "
+                  "ignoring it and starting fresh", file=sys.stderr)
+        elif len(loaded) == P and loaded.omega_optimized is not None:
+            prev = loaded
             omega_opt = np.array(prev.omega_optimized, np.float32, copy=True)
             lengths = np.array(prev.geodesic_length, np.float32, copy=True)
-            done = np.isfinite(lengths)
+            # invalid pairs are NaN-masked in every save; without the
+            # ~valid term a COMPLETED checkpoint containing one invalid
+            # pair would re-optimize that pair's whole chunk on resume
+            done = np.isfinite(lengths) | ~np.asarray(art.valid)
             if log_every_chunk and done.any():
                 print(f"[resume] {done.sum()}/{P} splines already optimized")
 
@@ -156,6 +175,10 @@ def optimize_spline_batch(
         za = np.asarray(z_mean)[art.pair_indices[:, 0]]
         zb = np.asarray(z_mean)[art.pair_indices[:, 1]]
         eucl = np.linalg.norm(za - zb, axis=1).astype(np.float32)
+    elif prev is not None and prev.euclidean_distance is not None:
+        # resuming without data must not destroy the distances the
+        # interrupted run already computed and persisted
+        eucl = np.asarray(prev.euclidean_distance, np.float32)
 
     # config validation up front — _submit is called per chunk and the mesh
     # branch returns before the single-device dispatch, so checks living
@@ -231,6 +254,9 @@ def optimize_spline_batch(
             partial = dataclasses.replace(
                 art, omega_optimized=om, geodesic_length=ln,
                 euclidean_distance=eucl,
+                # config stamp: the resume path refuses checkpoints from a
+                # different config instead of silently mixing results
+                metadata={**art.metadata, **cfg_stamp},
             )
             save_spline_batch(partial, checkpoint_path)
 
@@ -284,9 +310,7 @@ def optimize_spline_batch(
         omega_optimized=omega_opt,
         geodesic_length=lengths,
         euclidean_distance=eucl,
-        metadata={**art.metadata,
-                  "steps": cfg.steps, "mc_samples": cfg.energy.mc_samples,
-                  "energy_mode": cfg.energy.mode, "num_t": cfg.energy.num_t},
+        metadata={**art.metadata, **cfg_stamp},
     )
     if checkpoint_path:
         save_spline_batch(out, checkpoint_path)
