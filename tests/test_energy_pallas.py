@@ -385,3 +385,24 @@ def test_wmb_and_decoder_cotangents_are_true_zeros(setup):
         lambda d: jnp.sum(energy_expected_fused(d, gamma)))(decs)
     assert all(np.all(np.asarray(leaf) == 0.0)
                for leaf in jax.tree_util.tree_leaves(g_dec))
+
+
+def test_direct_kernel_call_rejects_unchunkable_T(setup, monkeypatch):
+    """Direct API calls that bypass fused_fits must get a clear error for a
+    T with no 8-aligned divisor when COMPILING for TPU — the kernel's
+    pl.multiple_of alignment promise would otherwise MISCOMPILE under
+    Mosaic.  (Interpret mode executes any Tc exactly and stays permissive —
+    test_uneven_chunking covers that.)"""
+    from vae_latent_geometry_tpu.ops import energy_pallas
+
+    monkeypatch.setattr(energy_pallas, "_is_tpu", lambda: True)
+    decs, _ = setup
+    g_bad = jnp.zeros((100, 8, 2), jnp.float32)   # divisors of 100: no 8k
+    with pytest.raises(ValueError, match="Mosaic alignment"):
+        energy_expected_fused(decs, g_bad)
+
+    from vae_latent_geometry_tpu.ops.energy_mc_pallas import energy_mc_fused
+
+    d = jnp.zeros((2, 99, 8), jnp.int32)
+    with pytest.raises(ValueError, match="Mosaic alignment"):
+        energy_mc_fused(decs, g_bad, d, d)

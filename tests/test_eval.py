@@ -157,3 +157,29 @@ def test_full_run_pipeline(rng):
     valid_vals = res.matrix[np.isfinite(res.matrix)]
     assert (valid_vals >= 0).all()
     assert res.timings["total"] > 0
+
+
+def test_cov_drops_counts_above_ensemble_size(rng):
+    """decoder_counts above the ensemble size silently corrupt the estimate
+    (gather clamps / masks select nothing) — they must be dropped loudly."""
+    import warnings
+
+    import jax
+
+    from vae_latent_geometry_tpu.config import ModelConfig
+    from vae_latent_geometry_tpu.models.evae import evae_init
+    from vae_latent_geometry_tpu.pipeline.evaluate import cov_analysis
+
+    cfgm = ModelConfig(input_dim=8, num_decoders=3,
+                       encoder_hidden=(8,), decoder_hidden=(8,))
+    models = [evae_init(jax.random.PRNGKey(i), cfgm) for i in range(2)]
+    x = rng.normal(size=(32, 8)).astype(np.float32)
+    with pytest.warns(UserWarning, match="exceed the smallest ensemble"):
+        res = cov_analysis(models, [0, 1], x, [(0, 1)],
+                           decoder_counts=(1, 2, 3, 4, 5),
+                           steps=5, num_t=32, mode="mc", batch_size=4)
+    assert sorted(res.avg_cov_geodesic) == [1, 2, 3]
+
+    with pytest.raises(ValueError, match="no decoder_counts"):
+        cov_analysis(models, [0, 1], x, [(0, 1)], decoder_counts=(7,),
+                     steps=2, num_t=32, mode="mc")

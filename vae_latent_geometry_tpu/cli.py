@@ -188,7 +188,7 @@ def cmd_init_splines(args):
                      for i, j in init.pair_indices],
         representatives=reps,
         metadata={"init_type": init.init_type,
-                  "pair_count": args.pairfile.rstrip(".json").split("_")[-1]},
+                  "pair_count": Path(args.pairfile).stem.split("_")[-1]},
     )
     model_name = Path(args.model).stem
     graph_type = "entropy" if args.use_entropy else "euclidean"

@@ -158,9 +158,10 @@ def mean_decoder(decoder_params):
 
     The final layer emits [mean, log_std] concatenated (torch ``chunk(2)``
     semantics), so keeping the first half of the last layer's columns yields
-    an exact mean-only decoder usable with every energy functional."""
-    layers = [dict(l) for l in decoder_params["layers"]]
-    w = layers[-1]["w"]
-    out = w.shape[1] // 2
-    layers[-1] = {"w": w[:, :out], "b": layers[-1]["b"][:out]}
-    return {"layers": layers}
+    an exact mean-only decoder usable with every energy functional.  Alias
+    of :func:`models.torch_import.mean_head` (single implementation: the
+    two used to duplicate the slice and had started to diverge on non-
+    'layers' pytree keys)."""
+    from vae_latent_geometry_tpu.models.torch_import import mean_head
+
+    return mean_head(decoder_params)

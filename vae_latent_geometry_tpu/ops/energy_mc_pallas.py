@@ -72,18 +72,22 @@ def sample_decoder_indices(key, T: int, B: int, m_dec: int,
     """(d1, d2): (S, T-1, B) int32 decoder draws, U[0, num_active_b).
 
     When the per-draw range fits, several independent dice are extracted
-    from ONE random word as base-k digits (k^n_dice <= 2^31 keeps the modulo
-    bias < 1e-5), cutting the number of generated words by n_dice.
+    from ONE random word as base-k digits, cutting the number of generated
+    words by n_dice.  The most significant extracted digit carries modulo
+    bias ~ k^n_dice / 2^31, so n_dice is capped at k^n_dice <= 2^31 * 1e-5
+    (~21k) to keep every digit's bias below 1e-5 — NOT at k^n_dice <= 2^31,
+    which would let the top digit of e.g. 9 base-10 dice oversample small
+    decoder indices by ~40%.
     """
     maxval = (jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
               if num_active is not None else
               jnp.full((B,), m_dec, jnp.int32))
     n_draws = 2 * mc_samples
     k_max = int(m_dec)
-    # dice per word such that k_max**dice <= 2**31
+    bias_cap = int(2**31 * 1e-5)      # ~21474: max bias 1e-5 per digit
     dice_per_word = 1
     while (dice_per_word < n_draws
-           and k_max ** (dice_per_word + 1) <= 2**31):
+           and k_max ** (dice_per_word + 1) <= bias_cap):
         dice_per_word += 1
     n_words = -(-n_draws // dice_per_word)
 
@@ -682,6 +686,9 @@ def _common(decoders, gamma):
     # configuration (T=2000) already lands on 2048-row chunks.  The shared
     # constant keeps fused_fits validating with the same value.
     Tc = _pick_chunk(T, Bb, target_rows=_TARGET_ROWS_MC)
+    from vae_latent_geometry_tpu.ops.energy_pallas import _check_tc
+
+    _check_tc(T, Bb, Tc)
     return T, B, B_pad, Bb, D, X, M, Tc, ws, bs
 
 

@@ -528,6 +528,14 @@ def _stats_dims(decoders, gamma):
     Bb = _pick_bb(B_pad, _MAX_BB_MC)
     B_pad = _round_up(B_pad, Bb)
     Tc = _pick_chunk(T, Bb)
+    if _is_tpu() and Tc % 8 != 0:
+        # the compiled kernel's dynamic-slice starts promise 8-alignment to
+        # Mosaic; a misaligned Tc miscompiles rather than erroring (gate
+        # callers with stats_fits); interpret mode executes any Tc exactly
+        raise ValueError(
+            f"stats kernel cannot chunk T={T} with batch block {Bb}: no "
+            "8-aligned divisor (gate with ops.energy_pallas.stats_fits; "
+            "powers of two >= 16 are safe)")
     return T, B, B_pad, Bb, D, X, M, Tc, ws, bs
 
 
@@ -866,7 +874,24 @@ def _dims(decoders, gamma, target_rows: int = 4096):
     Bb = _pick_bb(B_pad)
     B_pad = _round_up(B_pad, Bb)
     Tc = _pick_chunk(T, Bb, target_rows)
+    _check_tc(T, Bb, Tc)
     return T, B, B_pad, Bb, D, X, M, Tc, ws, bs
+
+
+def _check_tc(T: int, Bb: int, Tc: int) -> None:
+    """The compiled kernels promise Mosaic 8-aligned dynamic-slice starts
+    (``pl.multiple_of(c * Tc, 8)``) and >= 8-sublane offset value-slices; a
+    Tc violating that would MISCOMPILE, not error — so direct API callers
+    who bypassed :func:`fused_fits` must be stopped here.  Interpret mode
+    (off-TPU) executes slices exactly and supports any Tc, so the guard
+    only applies where Mosaic compiles the promise."""
+    if _is_tpu() and (Tc % 8 != 0 or Tc < 16):
+        raise ValueError(
+            f"fused kernel cannot chunk T={T} with batch block {Bb}: the "
+            f"largest feasible chunk Tc={Tc} violates Mosaic alignment "
+            "(need Tc % 8 == 0 and Tc >= 16).  Gate calls with "
+            "ops.energy_pallas.fused_fits, or pick T with an 8-aligned "
+            "divisor (powers of two >= 16 are safe)")
 
 
 def _cast_ws(ws, dtype):

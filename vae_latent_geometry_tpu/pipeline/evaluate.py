@@ -16,6 +16,7 @@ Reference ``src/eval.py``:
 from __future__ import annotations
 
 import json
+import warnings
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
@@ -140,6 +141,21 @@ def cov_analysis(
         key = jax.random.PRNGKey(0)
     pairs = np.asarray(list(pairs), np.int64)
     counts = np.asarray(list(decoder_counts), np.int32)
+    # a count above the ensemble size is meaningless AND silently corrupts
+    # the estimate (the XLA gather clamps out-of-range decoder indices to
+    # M-1, over-weighting it; the fused kernels' masks select nothing) —
+    # drop such counts loudly rather than emit garbage CoV values
+    m_min = min(
+        jax.tree_util.tree_leaves(m.decoders)[0].shape[0] for m in models)
+    if (counts > m_min).any():
+        dropped = counts[counts > m_min].tolist()
+        warnings.warn(
+            f"decoder_counts {dropped} exceed the smallest ensemble size "
+            f"({m_min}) and were dropped", stacklevel=2)
+        counts = counts[counts <= m_min]
+        if counts.size == 0:
+            raise ValueError(
+                f"no decoder_counts <= ensemble size {m_min} remain")
     P, K = len(pairs), len(counts)
     basis, _ = nullspace_basis(4)
     cfg = GeodesicConfig(
