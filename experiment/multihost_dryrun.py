@@ -67,9 +67,14 @@ def worker(pid: int) -> None:
 
     def put(x, spec):
         sh = NamedSharding(mesh, spec)
-        # every process holds the full logical array; this slices out the
-        # locally-addressable shards and assembles the global jax.Array
-        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        x = np.asarray(x)
+        # every process holds the full logical array; global_shape is
+        # REQUIRED to say so — without it each process's copy is treated as
+        # its process-local HALF and the assembled global array is silently
+        # 2x the intended size with duplicated content (a doubled workload
+        # that still passes every finite-ness assert)
+        return jax.make_array_from_process_local_data(sh, x,
+                                                      global_shape=x.shape)
 
     model_cfg = ModelConfig(input_dim=16, latent_dim=2, num_decoders=4,
                             encoder_hidden=(32, 16), decoder_hidden=(16,))
@@ -174,14 +179,35 @@ def main() -> None:
         flags + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
     ).strip()
     env["JAX_PLATFORMS"] = "cpu"
+    # worker output goes to temp files, NOT pipes: the workers are coupled
+    # through collectives, so one worker blocking on a full 64KB pipe while
+    # the other waits on a collective deadlocks the whole run
+    import tempfile
+
+    logs = [tempfile.NamedTemporaryFile("w+", suffix=f".worker{i}.log",
+                                        delete=False)
+            for i in range(N_PROC)]
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
             env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            stdout=logs[i], stderr=subprocess.STDOUT, text=True)
         for i in range(N_PROC)
     ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    try:
+        for p in procs:
+            p.wait(timeout=900)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    outs = []
+    for f in logs:
+        f.flush()
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
+        os.unlink(f.name)
     rcs = [p.returncode for p in procs]
     for i, (rc, out) in enumerate(zip(rcs, outs)):
         tail = "\n".join(out.splitlines()[-15:])

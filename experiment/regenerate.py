@@ -92,8 +92,6 @@ def stage_golden_b():
 
 
 def _full133(tag: str, mode: str, prec: str, use_entropy: bool):
-    import jax.numpy as jnp
-
     from vae_latent_geometry_tpu.config import (
         EnergyConfig,
         GeodesicConfig,
@@ -116,7 +114,6 @@ def _full133(tag: str, mode: str, prec: str, use_entropy: bool):
         verbose=False,
     )
     wall = time.perf_counter() - t0
-    n_valid = int(np.isfinite(res.matrix).sum() - len(res.labels))
     _write(f"full133_{tag}_timing.json", {
         "note": "timing excludes one-time per-process tunnel warmup; "
                 "numerics-correct rerun (docs/NUMERICS.md)",
@@ -299,10 +296,6 @@ def stage_full133_earlystop():
     budget; the +31% vs the fixed run is block-scan overhead + a fresh
     compile).  The wall-clock lever that DOES work is the cosine
     two-phase fast recipe (stage_full133_fast / fast_recipe_probe2.json)."""
-    import dataclasses
-
-    import jax.numpy as jnp
-
     from vae_latent_geometry_tpu.config import (
         EnergyConfig,
         GeodesicConfig,
@@ -573,6 +566,12 @@ STAGES = {
 
 def main():
     names = sys.argv[1:] or list(STAGES)
+    unknown = [n for n in names if n not in STAGES]
+    if unknown:
+        # validate BEFORE running anything: a typo in a later name must not
+        # surface only after hours of earlier TPU stages
+        raise SystemExit(
+            f"unknown stage(s) {unknown}; available: {sorted(STAGES)}")
     _setup()
     for n in names:
         print(f"[regenerate] === stage {n} ===", flush=True)

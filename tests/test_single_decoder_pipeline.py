@@ -288,3 +288,27 @@ def test_resume_without_data_keeps_stored_euclidean(tmp_path, rng):
     res = optimize_spline_batch(params, art, cfg=cfg, checkpoint_path=ckpt,
                                 data=None, log_every_chunk=False)
     np.testing.assert_array_equal(res.euclidean_distance, eucl)
+
+
+def test_resume_refuses_same_steps_different_recipe(tmp_path, rng, capsys):
+    """Recipe fields beyond steps/mode/num_t must be stamped too: a
+    reference-recipe checkpoint resumed under a ladder whose resolved
+    `steps` coincides is refused (the results differ)."""
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    params = vae_init(jax.random.PRNGKey(4))
+    art = _toy_art(rng)
+    ckpt = str(tmp_path / "opt.npz")
+    cfg_plain = GeodesicConfig(steps=12, batch_size=3,
+                               energy=EnergyConfig(num_t=48, mode="single"))
+    optimize_spline_batch(params, art, cfg=cfg_plain, checkpoint_path=ckpt,
+                          log_every_chunk=False)
+    cfg_ladder = GeodesicConfig(
+        steps=12, batch_size=3,
+        phase_plan=((8, 32, "cosine", 1e-2), (4, 48, "constant", 1e-3)),
+        energy=EnergyConfig(num_t=48, mode="single"))
+    optimize_spline_batch(params, art, cfg=cfg_ladder, checkpoint_path=ckpt,
+                          log_every_chunk=True)
+    assert "different config" in capsys.readouterr().err

@@ -291,8 +291,12 @@ def _make_opt(cfg: GeodesicConfig):
     if cfg.lr_schedule == "constant":
         return optax.adam(cfg.lr)
     if cfg.lr_schedule == "cosine":
+        # a phase shorter than the configured warmup (e.g. a short ladder
+        # rung with the default lr_warmup=20) would give optax a negative
+        # cosine span — cap the warmup at a quarter of the phase
+        warmup = min(cfg.lr_warmup, max(cfg.steps // 4, 1))
         sched = optax.warmup_cosine_decay_schedule(
-            init_value=0.0, peak_value=cfg.lr, warmup_steps=cfg.lr_warmup,
+            init_value=0.0, peak_value=cfg.lr, warmup_steps=warmup,
             decay_steps=cfg.steps, end_value=cfg.lr_end)
         return optax.adam(learning_rate=sched)
     raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule!r} "

@@ -12,6 +12,7 @@ immediately and a resume scans for already-finished chunks.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import queue
 import sys
@@ -136,10 +137,17 @@ def optimize_spline_batch(
 
     # config stamp: written into every checkpoint snapshot so the resume
     # path can refuse a checkpoint from a DIFFERENT optimization config
-    # instead of silently mixing its results into this run's
+    # instead of silently mixing its results into this run's.  The legacy
+    # keys stay for readability; "recipe" canonically serializes the WHOLE
+    # GeodesicConfig (schedules, traj/polish phases, phase_plan ladder,
+    # precision, batch_size — all of which change the produced results),
+    # so e.g. resuming a reference-recipe checkpoint under --fast/--turbo
+    # is refused even though their resolved `steps` coincide.
     cfg_stamp = {"steps": cfg.steps, "energy_mode": cfg.energy.mode,
                  "num_t": cfg.energy.num_t,
-                 "mc_samples": cfg.energy.mc_samples}
+                 "mc_samples": cfg.energy.mc_samples,
+                 "recipe": json.dumps(dataclasses.asdict(cfg),
+                                      sort_keys=True, default=str)}
 
     prev = None
     if checkpoint_path and os.path.exists(checkpoint_path):
