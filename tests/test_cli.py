@@ -74,7 +74,22 @@ def test_full_cli_pipeline(workdir):
     assert cov_json.exists()
 
 
+def _ensure_trained(workdir):
+    """Prerequisites for stages past training — self-contained so tests
+    survive selection/reordering (e.g. `pytest -k entropy` or xdist) instead
+    of depending on test_full_cli_pipeline's side effects."""
+    dd = str(workdir / "data")
+    if not (workdir / "experiment" / "model_seed5.npz").exists():
+        main(["train", "--data-dir", dd, "--epochs", "2", "--seed", "5",
+              "--num-decoders", "3"])
+    if not (workdir / "experiment" / "pairs" /
+            "selected_pairs_4.json").exists():
+        main(["select-pairs", "--data-dir", dd,
+              "--model", "experiment/model_seed5.npz", "--max-labels", "4"])
+
+
 def test_cli_entropy_init(workdir):
+    _ensure_trained(workdir)
     main(["init-splines", "--data-dir", str(workdir / "data"),
           "--model", "experiment/model_seed5.npz",
           "--pairfile", "experiment/pairs/selected_pairs_4.json",
@@ -164,3 +179,34 @@ def test_turbo_phase_plan_parses_and_expands():
         assert pcfg.phase_plan is None      # no recursive expansion
     # the ladder ends at the full reference quadrature resolution
     assert TURBO_PHASES[-1][1] == cfg.energy.num_t == 2000
+
+
+def test_turbo_flag_wires_phase_plan_through_cmd_optimize(workdir,
+                                                          monkeypatch):
+    """Regression guard on the actual CLI wiring: `optimize --turbo` must
+    run the ladder (not the reference recipe).  Verified end-to-end on a
+    tiny monkeypatched ladder via the recipe stamp the run writes into the
+    artifact metadata."""
+    from vae_latent_geometry_tpu import cli as cli_mod
+    from vae_latent_geometry_tpu.io.artifacts import load_spline_batch
+
+    _ensure_trained(workdir)
+    dd = str(workdir / "data")
+    if not (workdir / "experiment" / "splines_init_model_seed5" /
+            "spline_batch_init_euclidean_4.npz").exists():
+        main(["init-splines", "--data-dir", dd,
+              "--model", "experiment/model_seed5.npz",
+              "--pairfile", "experiment/pairs/selected_pairs_4.json",
+              "--grid", "30"])
+    tiny = ((7, 16, "cosine", 3e-3), (3, 32, "constant", 1e-3))
+    monkeypatch.setattr(cli_mod, "TURBO_PHASES", tiny)
+    out = workdir / "turbo_out.npz"
+    main(["optimize", "--data-dir", dd,
+          "--model", "experiment/model_seed5.npz",
+          "--init-type", "euclidean", "--pair-count", "4",
+          "--batch-size", "4", "--num-t", "32", "--energy-mode", "expected",
+          "--turbo", "--output", str(out)])
+    art = load_spline_batch(str(out))
+    assert '"phase_plan": [[7, 16, "cosine", 0.003]' in art.metadata["recipe"]
+    # invalid pairs (unreachable Dijkstra inits) are NaN-masked by design
+    assert np.isfinite(art.geodesic_length[art.valid]).all()

@@ -254,24 +254,30 @@ def test_stats_kernel_decomposition_matches_expected(rng):
 
 def test_active_weights_local_covers_global_plane():
     """Concatenating every shard's active_weights_local rows reproduces the
-    global active_weights plane (the CoV sweep's masked means)."""
+    global active_weights plane — evaluated with a REAL axis_index per shard
+    under shard_map, so the p * M_local + arange offset arithmetic is
+    exercised on every shard, not just shard 0."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
     from vae_latent_geometry_tpu.ops.energy_pallas import (
         active_weights,
         active_weights_local,
     )
 
-    B, M, ep = 7, 6, 3
-    num_active = jnp.asarray([1, 2, 3, 4, 5, 6, 6])
+    B, M, ep = 7, 8, 4
+    num_active = jnp.asarray([1, 2, 3, 4, 5, 6, 8])
     ref = np.asarray(active_weights(num_active, M, B))
-    rows = []
-    for p in range(ep):
-        # axis_name=None uses shard index 0; emulate shard p by slicing the
-        # global index range via the m_global offset arithmetic
-        loc = np.asarray(active_weights_local(num_active, M, M // ep, B))
-        rows.append(ref[p * (M // ep):(p + 1) * (M // ep)])
-        if p == 0:
-            np.testing.assert_allclose(loc, rows[0])
-    np.testing.assert_allclose(np.concatenate(rows), ref)
+
+    mesh = Mesh(np.array(jax.devices()[:ep]), ("ep",))
+    gathered = jax.shard_map(
+        lambda: active_weights_local(num_active, M, M // ep, B,
+                                     axis_name="ep"),
+        mesh=mesh, in_specs=(), out_specs=P("ep"), check_vma=False,
+    )()
+    np.testing.assert_allclose(np.asarray(gathered), ref)
+    # single-device decomposition (axis_name=None) is shard 0
+    loc0 = np.asarray(active_weights_local(num_active, M, M // ep, B))
+    np.testing.assert_allclose(loc0, ref[: M // ep])
 
 
 def test_mc_fused_rng_zero_draw_plumbing(rng):

@@ -6,6 +6,8 @@ import numpy as np
 import optax
 import pytest
 
+from tests.conftest import REFERENCE_ROOT, reference_available
+
 from vae_latent_geometry_tpu.config import (
     EnergyConfig,
     GeodesicConfig,
@@ -207,11 +209,11 @@ def test_workload_slice_dp_sharded_matches_single_device(mesh8):
         optimize_spline_batch,
     )
 
-    ckpt = "/root/reference/experiment/model_seed12.pt"
-    blob = ("/root/reference/experiment/splines_init_model_seed12/"
-            "spline_batch_init_euclidean_10.pt")
-    if not (os.path.exists(ckpt) and os.path.exists(blob)):
+    if not reference_available():
         pytest.skip("reference artifacts not mounted")
+    ckpt = f"{REFERENCE_ROOT}/experiment/model_seed12.pt"
+    blob = (f"{REFERENCE_ROOT}/experiment/splines_init_model_seed12/"
+            "spline_batch_init_euclidean_10.pt")
     params = load_evae_checkpoint(ckpt)
     art = from_reference_blob(load_spline_blob(blob))
     # slice: 16 pairs of the real workload (multiple of dp; exercises two
@@ -241,10 +243,13 @@ def test_workload_slice_dp_sharded_matches_single_device(mesh8):
 
     om_in = jax.device_put(jnp.asarray(art.omega_init[:8]),
                            named_sharding(mesh8, "dp"))
-    row_slices = {s.index[0] for s in om_in.addressable_shards}
-    sizes = {(sl.stop if sl.stop is not None else 8)
-             - (sl.start if sl.start is not None else 0)
-             for sl in row_slices}
+    # hash (start, stop) tuples, not slice objects: slice is unhashable
+    # before Python 3.12 and pyproject supports >= 3.10
+    row_slices = {(s.index[0].start, s.index[0].stop)
+                  for s in om_in.addressable_shards}
+    sizes = {(stop if stop is not None else 8)
+             - (start if start is not None else 0)
+             for start, stop in row_slices}
     assert sizes == {8 // mesh8.shape["dp"]}, (
         f"expected dp-sharded pair axis, got shard slices {row_slices}")
     assert len(row_slices) == mesh8.shape["dp"]

@@ -37,11 +37,16 @@ def test_frobenius_label_alignment():
 
 
 def test_frobenius_nan_holes_ignored():
-    labels = ["a", "b"]
-    A = np.array([[0.0, 1.0], [1.0, 0.0]])
-    B = np.array([[0.0, np.nan], [np.nan, 0.0]])
+    """NaN holes are excluded from BOTH matrices jointly — wrong handling
+    (e.g. nan_to_num on one side) would count holes as distance 0 and give
+    different values on the asserted entries."""
+    labels = ["a", "b", "c"]
+    A = np.array([[0.0, 1.0, 2.0], [1.0, 0.0, 4.0], [2.0, 4.0, 0.0]])
+    B = np.array([[0.0, np.nan, 2.0], [np.nan, 0.0, 1.0], [2.0, 1.0, 0.0]])
     res = frobenius_comparison(A, labels, B, labels)
-    assert np.isfinite(res.frob_diff)
+    # joint-finite entries: the (a,c) pair matches exactly, (b,c) differs
+    # by 3 (twice, symmetric); the NaN (a,b) hole contributes NOTHING
+    np.testing.assert_allclose(res.frob_diff, np.sqrt(2 * 3.0**2))
 
 
 def test_pair_determinism(tmp_path):
