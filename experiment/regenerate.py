@@ -547,6 +547,24 @@ def stage_full133_mc_turbo():
              "tunnel warmup and first-compile of the T=256 MC program")
 
 
+def stage_full133_mc_turbo_f32x2():
+    """MC turbo with the f32x2 trajectory rung (the same precision trade
+    the expected-mode turbo uses: reduced precision steers the trajectory
+    only, final energies exact-f32).  Measures whether the MC path keeps
+    its dominance at the cheaper rung; the committed mc_turbo stays at
+    f32x3 unless this measures clean."""
+    from vae_latent_geometry_tpu.cli import TURBO_PHASES
+
+    _run_full133_two_phase(
+        "mc_turbo_f32x2", steps=1200, traj_num_t=None, polish_steps=0,
+        phase_plan=TURBO_PHASES, mode="mc_fused", prec="f32x2",
+        fixed_tag="mc",
+        note="turbo ladder on the MC estimator at the f32x2 trajectory "
+             "rung: cosine(3e-3) x 1200 @ T=256 + 200 @ T=2000 const 1e-3, "
+             "mc_fused@f32x2; final energies exact-f32 T=2000 MC draws; "
+             "timing excludes one-time tunnel warmup and first compiles")
+
+
 STAGES = {
     "golden_a": stage_golden_a,
     "golden_b": stage_golden_b,
@@ -557,6 +575,7 @@ STAGES = {
     "full133_fast": stage_full133_fast,
     "full133_turbo": stage_full133_turbo,
     "full133_mc_turbo": stage_full133_mc_turbo,
+    "full133_mc_turbo_f32x2": stage_full133_mc_turbo_f32x2,
     "golden_ensemble": stage_golden_ensemble,
     "dscale": stage_dscale,
     "cov": stage_cov,
