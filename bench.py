@@ -402,8 +402,11 @@ def main():
     # (fail); a fused path that could not run at all is exactly the case
     # the ladder's XLA fallback exists for (warn, don't fail) — but the
     # XLA reference check itself must have run, else nothing was validated
+    # NOTE: `not (v <= tol)` rather than `v > tol` so a NaN medrel (the
+    # most corrupted arithmetic possible) fails the gate instead of
+    # slipping through the comparison
     bad = [k for k, v in numerics.items()
-           if isinstance(v, float) and v > 1e-3]
+           if isinstance(v, float) and not (v <= 1e-3)]
     not_run = [k for k, v in numerics.items() if not isinstance(v, float)]
     if "xla_expected" in not_run:
         bad.append("xla_expected")

@@ -431,3 +431,35 @@ def test_early_stop_restores_the_params_that_achieved_best_energy(toy_problem):
         dec, omega0, a, b, basis_j, key, _small_cfg(steps=2, **kw), None,
         block=2)
     np.testing.assert_allclose(np.asarray(e_best), expected, rtol=1e-5)
+
+
+def test_early_stop_step_budget_is_exact(toy_problem):
+    """Regression: cfg.steps is an exact Adam-update budget even when it is
+    not a multiple of the scan block — the tail of the final partial block
+    must be a masked no-op (omega, optimizer state, best/patience all
+    frozen).  The bug ran a full final block (steps=120, block=50 -> 150
+    updates).  Witness: block=50 (partial final block) must match block=40
+    (exact division) bitwise; mode='single' is key-independent so the only
+    possible divergence is extra steps."""
+    from vae_latent_geometry_tpu.optim.geodesic import _optimize_early_stop
+
+    dec, a, b, basis, omega0 = toy_problem
+    kw = dict(lr=1e-2, patience=10_000, delta=1e-12,
+              energy={"mode": "single", "num_t": 64})
+    key = jax.random.PRNGKey(0)
+    basis_j = jnp.asarray(basis)
+    cfg = _small_cfg(steps=120, **kw)
+
+    om_50, e_50 = _optimize_early_stop(dec, omega0, a, b, basis_j, key, cfg,
+                                       None, block=50)
+    om_40, e_40 = _optimize_early_stop(dec, omega0, a, b, basis_j, key, cfg,
+                                       None, block=40)
+    np.testing.assert_array_equal(np.asarray(om_50), np.asarray(om_40))
+    np.testing.assert_array_equal(np.asarray(e_50), np.asarray(e_40))
+
+    # discriminability: 30 further steps (the bug's overrun) land on a
+    # measurably different best energy, so the equality above is not vacuous
+    _, e_150 = _optimize_early_stop(
+        dec, omega0, a, b, basis_j, key, _small_cfg(steps=150, **kw), None,
+        block=50)
+    assert not np.allclose(np.asarray(e_150), np.asarray(e_50), rtol=1e-7)

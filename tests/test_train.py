@@ -82,6 +82,31 @@ def test_train_resume_restores_optimizer_state(tiny_data, tmp_path):
     np.testing.assert_array_equal(res.val_losses, ref.val_losses)
 
 
+def test_train_resume_refuses_foreign_config(tiny_data, tmp_path):
+    """Regression: a checkpoint written by a different run setup (here a
+    different seed — any trajectory-affecting TrainConfig field) is refused
+    on resume instead of silently continuing a foreign trajectory.  A
+    larger epoch budget is NOT a foreign config (it is the canonical
+    resume, exercised by test_train_resume_restores_optimizer_state)."""
+    mcfg = ModelConfig(input_dim=10, latent_dim=2, num_decoders=2,
+                       encoder_hidden=(16,), decoder_hidden=(16,),
+                       decoder_sigma=1.0)
+    ckpt = str(tmp_path / "train_state.npz")
+    train_evae(tiny_data, TrainConfig(epochs=2, batch_size=64, seed=3),
+               mcfg, log_every=0, block_epochs=2, checkpoint_path=ckpt)
+    with pytest.raises(ValueError, match="different run setup"):
+        train_evae(tiny_data, TrainConfig(epochs=4, batch_size=64, seed=4),
+                   mcfg, log_every=0, block_epochs=2, checkpoint_path=ckpt)
+    # a different model config is refused too
+    mcfg_other = ModelConfig(input_dim=10, latent_dim=2, num_decoders=3,
+                             encoder_hidden=(16,), decoder_hidden=(16,),
+                             decoder_sigma=1.0)
+    with pytest.raises(ValueError, match="different run setup"):
+        train_evae(tiny_data, TrainConfig(epochs=4, batch_size=64, seed=3),
+                   mcfg_other, log_every=0, block_epochs=2,
+                   checkpoint_path=ckpt)
+
+
 def test_training_is_deterministic(tiny_data):
     cfg = TrainConfig(epochs=3, batch_size=64, seed=7)
     mcfg = ModelConfig(input_dim=10, latent_dim=2, num_decoders=2,

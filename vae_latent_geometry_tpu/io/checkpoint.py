@@ -85,6 +85,16 @@ def load_train_state(path: str, params_like: Any,
     return tree["params"], tree["opt_state"], meta
 
 
+def load_meta(path: str) -> dict:
+    """Read only the JSON meta sidecar of a checkpoint — cheap (no array
+    decompression) and shape-agnostic, so callers can validate a config
+    stamp BEFORE attempting the structured load (a foreign-config
+    checkpoint should be refused with the stamp diagnostic, not a shape
+    mismatch from deep inside the tree)."""
+    with np.load(path, allow_pickle=False) as f:
+        return json.loads(str(f["__meta__"])) if "__meta__" in f.files else {}
+
+
 def load_pytree(path: str, like: Any) -> Tuple[Any, dict]:
     """Load a pytree saved with :func:`save_pytree` into the structure of
     ``like`` (shapes/keys must match).  Returns (tree, meta)."""

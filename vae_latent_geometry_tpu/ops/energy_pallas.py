@@ -834,7 +834,18 @@ def active_weights(num_active, M: int, B: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def energy_expected_fused(decoders, gamma, wmb=None, precision: str = "float32"):
+def _energy_expected_fused_vjp(decoders, gamma, wmb, precision: str):
+    """custom_vjp core of :func:`energy_expected_fused` — do not call
+    directly: the public wrapper cuts decoders/wmb with stop_gradient BEFORE
+    this function, which is the only place that cut is effective (code
+    inside a custom_vjp primal body is never traced under differentiation;
+    JAX dispatches to _fwd_rule/_bwd_rule instead)."""
+    e, _ = _fwd_impl(decoders, gamma, wmb, precision)
+    return e
+
+
+def energy_expected_fused(decoders, gamma, wmb=None,
+                          precision: str = "float32"):
     """Fused expected ensemble energy: (T, B, D) curve -> (B,) energies.
 
     wmb: optional (M, B) per-spline ensemble weights (default: uniform 1/M —
@@ -853,16 +864,15 @@ def energy_expected_fused(decoders, gamma, wmb=None, precision: str = "float32")
     cotangents (geodesic optimization never trains them; use the XLA path
     ``geometry.energy.energy_expected`` if you need weight gradients).
     The contract is mechanically enforced: ``decoders``/``wmb`` are cut
-    with ``stop_gradient`` here at entry (outside the custom_vjp), so
-    anything differentiating through them (e.g. learned ensemble weights)
-    sees a true zero gradient by JAX semantics instead of silently relying
-    on the custom rule.
+    with ``stop_gradient`` here, OUTSIDE the custom_vjp core, so anything
+    differentiating through them (e.g. learned ensemble weights) sees a
+    true zero gradient by JAX semantics regardless of what the custom
+    backward rule returns.
     """
     decoders = jax.lax.stop_gradient(decoders)
     if wmb is not None:
         wmb = jax.lax.stop_gradient(wmb)
-    e, _ = _fwd_impl(decoders, gamma, wmb, precision)
-    return e
+    return _energy_expected_fused_vjp(decoders, gamma, wmb, precision)
 
 
 def _dims(decoders, gamma, target_rows: int = 4096):
@@ -951,4 +961,4 @@ def _bwd_rule(precision, res, ct):
     return zeros_dec, dgamma, d_wmb
 
 
-energy_expected_fused.defvjp(_fwd_rule, _bwd_rule)
+_energy_expected_fused_vjp.defvjp(_fwd_rule, _bwd_rule)

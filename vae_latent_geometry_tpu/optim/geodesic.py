@@ -386,8 +386,13 @@ def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig
     granularity.  A step-granular while_loop measured ~1.4x slower per step
     than the scan (lost pipelining) at the production workload — enough to
     eat any step savings; block exit keeps the scan's speed and checks
-    convergence every ``block`` steps (the run may overshoot the exit point
-    by up to block-1 steps)."""
+    convergence every ``block`` steps (the run may overshoot the CONVERGENCE
+    exit point by up to block-1 steps).  The cfg.steps budget itself is
+    exact: steps past it inside the final partial block are masked no-ops
+    (their compute still runs — block shapes are static — but omega,
+    optimizer state, best/patience tracking and the lr-schedule counter are
+    all frozen), so e.g. steps=120 performs exactly 120 Adam updates, not
+    150."""
     loss_fn = make_loss_fn(decoders, basis, _traj_cfg(cfg))
     opt = _make_opt(cfg)
 
@@ -395,6 +400,9 @@ def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig
 
     def scan_step(carry, step_idx):
         omega, opt_state, best_omega, best_e, patience_ctr = carry
+        # scalar budget mask: indices past cfg.steps (the tail of the final
+        # partial block when steps % block != 0) must not change any state
+        active = step_idx < cfg.steps
         step_key = jax.random.fold_in(key, step_idx)
         (_, e), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             omega, a, b, step_key, num_active
@@ -402,16 +410,21 @@ def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig
         if cfg.energy.ep_axis is not None:
             grads = jax.lax.psum(grads, cfg.energy.ep_axis)
         rel_improvement = (best_e - e) / best_e
-        improved = rel_improvement > cfg.delta          # (B,)
+        improved = jnp.logical_and(rel_improvement > cfg.delta, active)  # (B,)
         best_e = jnp.where(improved, e, best_e)
         # best params are the ones that ACHIEVED e — i.e. omega before this
         # step's update (the reference tracks/restores exactly these,
         # optimize_energy.py:149-163); saving the post-update omega would
         # return params one Adam step past the best point
         best_omega = jnp.where(improved[:, None, None], omega, best_omega)
-        patience_ctr = jnp.where(improved, 0, patience_ctr + 1)
-        updates, opt_state = opt.update(grads, opt_state, omega)
-        omega = optax.apply_updates(omega, updates)
+        patience_ctr = jnp.where(
+            improved, 0, jnp.where(active, patience_ctr + 1, patience_ctr))
+        updates, new_opt_state = opt.update(grads, opt_state, omega)
+        new_omega = optax.apply_updates(omega, updates)
+        omega = jnp.where(active, new_omega, omega)
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(active, new, old),
+            new_opt_state, opt_state)
         return (omega, opt_state, best_omega, best_e, patience_ctr), None
 
     def cond(state):

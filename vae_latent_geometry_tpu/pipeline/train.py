@@ -19,10 +19,13 @@ expectation is uniform).
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Optional
+from warnings import warn
 
 import jax
 import jax.numpy as jnp
@@ -187,11 +190,49 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
     opt = optax.adam(_lr_schedule(cfg, len(train_idx) // cfg.batch_size))
     opt_state = opt.init(params)
 
+    # config stamp: the resumed trajectory is only identical to the
+    # uninterrupted one if EVERY trajectory-affecting input matches —
+    # TrainConfig (seed, lr schedule, beta, batch_size, ...), the model
+    # config, and block_epochs (keys are folded at block starts).  The
+    # stamp is written into every snapshot and verified on resume; a
+    # checkpoint from a different run setup is refused, not silently mixed
+    # (same policy as optimize_spline_batch's cfg_stamp).  ``epochs`` is
+    # deliberately EXCLUDED: it is a stop budget, not a trajectory input
+    # (the lr schedule keys on lr_step_size x steps_per_epoch and beta
+    # warm-up on the absolute epoch index — neither reads the total), and
+    # "resume the same run with a larger epoch budget" is the canonical
+    # legitimate resume.
+    stamped_cfg = dataclasses.asdict(cfg)
+    del stamped_cfg["epochs"]
+    cfg_stamp = {
+        "cfg": json.dumps(stamped_cfg, sort_keys=True, default=str),
+        "model_cfg": json.dumps(dataclasses.asdict(model_cfg),
+                                sort_keys=True, default=str),
+        "block_epochs": block_epochs,
+    }
+
     train_losses, val_losses = [], []
     epoch = 0
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        from vae_latent_geometry_tpu.io.checkpoint import load_train_state
+        from vae_latent_geometry_tpu.io.checkpoint import (load_meta,
+                                                           load_train_state)
 
+        # stamp check FIRST (meta-only read): a foreign-config checkpoint
+        # must be refused with the stamp diagnostic even when its array
+        # shapes would not match this run's template either
+        stored_stamp = load_meta(checkpoint_path).get("cfg_stamp")
+        if stored_stamp is None:
+            warn(f"training checkpoint {checkpoint_path!r} carries no "
+                 "config stamp (pre-stamp format); resuming without "
+                 "validation — the restored trajectory may not match "
+                 "this run's config")
+        elif stored_stamp != cfg_stamp:
+            raise ValueError(
+                f"training checkpoint {checkpoint_path!r} was written by a "
+                f"different run setup and cannot be resumed here:\n"
+                f"  checkpoint: {stored_stamp}\n  this run:   {cfg_stamp}\n"
+                "delete the checkpoint (or point checkpoint_path elsewhere) "
+                "to start fresh")
         params, opt_state, meta = load_train_state(
             checkpoint_path, params, opt_state)
         epoch = int(meta["epoch"])
@@ -226,7 +267,8 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
                 params, opt_state, checkpoint_path, epoch=epoch,
                 extra_meta={"train_losses": train_losses,
                             "val_losses": val_losses,
-                            "seed": cfg.seed})
+                            "seed": cfg.seed,
+                            "cfg_stamp": cfg_stamp})
     return TrainResult(
         params=params, best_params=params,
         train_losses=np.asarray(train_losses),

@@ -350,7 +350,9 @@ def plot_density_illustration(latents, art, save_path: str,
     ax.set_xlim(xlim); ax.set_ylim(ylim)
     ax.set_aspect("equal", adjustable="box")
     ax.set_xlabel("z$_1$"); ax.set_ylabel("z$_2$")
-    ax.set_title(f"Geodesics in Latent Space (seed {seed})")
+    title = ("Geodesics in Latent Space" if seed is None
+             else f"Geodesics in Latent Space (seed {seed})")
+    ax.set_title(title)
     divider = make_axes_locatable(ax)
     cax = divider.append_axes("right", size="4%", pad=0.1)
     fig.colorbar(im, cax=cax,
