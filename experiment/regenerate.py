@@ -418,6 +418,59 @@ def stage_train():
     print(f"[train] 600 epochs in {wall:.1f}s", flush=True)
 
 
+def stage_train_multiseed():
+    """Train the reference's six CoV seed models (src/eval.py:94 needs
+    model_seed{12,123,1234,12345,45,456}.pt; the reference produces them as
+    six serial `python -m src.train` runs, src/train.py:126) in ONE vmapped
+    XLA program, and time it against a measured single-seed serial run from
+    the same session (so the ratio is apples-to-apples on this chip)."""
+    from vae_latent_geometry_tpu.config import TrainConfig
+    from vae_latent_geometry_tpu.data.tasic import load_tasic
+    from vae_latent_geometry_tpu.pipeline.train import (train_evae,
+                                                        train_evae_multiseed)
+
+    seeds = [12, 123, 1234, 12345, 45, 456]
+    data = load_tasic()
+    cfg = TrainConfig(epochs=600, batch_size=64)
+
+    # serial reference point: one seed, same session (x6 for the workload)
+    t0 = time.perf_counter()
+    single = train_evae(data.x, TrainConfig(epochs=600, seed=seeds[0]),
+                        log_every=0)
+    serial_one = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    multi = train_evae_multiseed(data.x, seeds, cfg, log_every=0)
+    wall = time.perf_counter() - t0
+
+    # the vmapped run must reproduce the serial trajectory (same chip, same
+    # program modulo the vmap batch axis) — final val losses should agree
+    # closely; exact equality is asserted on CPU in tests/test_train.py
+    v_serial = float(np.asarray(single.val_losses)[-1])
+    v_multi = float(np.asarray(multi[seeds[0]].val_losses)[-1])
+    _write("multiseed_train_timing.json", {
+        "workload": "6 independent EVAE seed models (12..456), 600 epochs "
+                    "each, bs 64, 10 decoders, 23822x50 surrogate, ONE "
+                    "vmapped XLA program, single v5e",
+        "wall_clock_seconds": round(wall, 1),
+        "serial_one_seed_seconds": round(serial_one, 1),
+        "serial_six_seed_estimate_seconds": round(6 * serial_one, 1),
+        "speedup_vs_serial": round(6 * serial_one / wall, 2),
+        "final_val_losses": {str(s): float(np.asarray(r.val_losses)[-1])
+                             for s, r in multi.items()},
+        "seed12_val_serial_vs_vmapped": [v_serial, v_multi],
+        "note": "trajectory equality of the vmapped path vs per-seed serial "
+                "runs is asserted bitwise on CPU "
+                "(tests/test_train.py::test_multiseed_training_matches_"
+                "serial_runs); on TPU the batched matmul tilings may "
+                "reassociate sums, so the cross-check here is final-loss "
+                "agreement",
+    })
+    print(f"[train-multiseed] 6 seeds in {wall:.1f}s "
+          f"(serial est {6 * serial_one:.1f}s, "
+          f"{6 * serial_one / wall:.2f}x)", flush=True)
+
+
 def _run_full133_two_phase(tag, steps, traj_num_t, polish_steps, note,
                            phase_plan=None, mode="expected_fused",
                            prec=None, fixed_tag="euclidean"):
@@ -580,6 +633,7 @@ STAGES = {
     "dscale": stage_dscale,
     "cov": stage_cov,
     "train": stage_train,
+    "train_multiseed": stage_train_multiseed,
 }
 
 

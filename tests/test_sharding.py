@@ -327,3 +327,36 @@ def test_early_stop_rejected_on_mesh(mesh8, rng):
                          energy=EnergyConfig(num_t=32, mode="mc"))
     with pytest.raises(ValueError, match="not supported on a sharded"):
         optimize_spline_batch(params, art, cfg=cfg, mesh=mesh8)
+
+
+def test_multiseed_training_shards_seed_axis(mesh8, rng):
+    """Seed-parallel training: 4 seeds sharded over dp=4 reproduce the
+    unsharded vmapped run exactly (the seed axis is embarrassingly parallel
+    — GSPMD partitions the program with zero collectives)."""
+    from vae_latent_geometry_tpu.config import TrainConfig
+    from vae_latent_geometry_tpu.pipeline.train import train_evae_multiseed
+
+    tiny_data = rng.normal(size=(512, 10)).astype(np.float32)
+    tiny_data[:256] += 4.0
+
+    mcfg = ModelConfig(input_dim=10, latent_dim=2, num_decoders=2,
+                       encoder_hidden=(16,), decoder_hidden=(16,),
+                       decoder_sigma=1.0)
+    cfg = TrainConfig(epochs=4, batch_size=64)
+    seeds = [3, 7, 11, 19]
+    plain = train_evae_multiseed(tiny_data, seeds, cfg, mcfg,
+                                 log_every=0, block_epochs=2)
+    sharded = train_evae_multiseed(tiny_data, seeds, cfg, mcfg,
+                                   log_every=0, block_epochs=2, mesh=mesh8)
+    for s in seeds:
+        np.testing.assert_array_equal(sharded[s].train_losses,
+                                      plain[s].train_losses)
+        np.testing.assert_array_equal(sharded[s].val_losses,
+                                      plain[s].val_losses)
+        for x, y in zip(jax.tree_util.tree_leaves(sharded[s].params),
+                        jax.tree_util.tree_leaves(plain[s].params)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    with pytest.raises(ValueError, match="do not divide over dp"):
+        train_evae_multiseed(tiny_data, seeds[:3], cfg, mcfg, log_every=0,
+                             block_epochs=2, mesh=mesh8)

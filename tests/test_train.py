@@ -107,6 +107,61 @@ def test_train_resume_refuses_foreign_config(tiny_data, tmp_path):
                    checkpoint_path=ckpt)
 
 
+def test_multiseed_training_matches_serial_runs(tiny_data):
+    """The vmapped multi-seed trainer reproduces each seed's serial
+    ``train_evae`` trajectory EXACTLY (loss curves bitwise-equal on CPU):
+    the seed axis is purely a vmap batch axis — same init keys, same seeded
+    splits, same per-epoch shuffle keys."""
+    import jax
+
+    from vae_latent_geometry_tpu.pipeline.train import train_evae_multiseed
+
+    mcfg = ModelConfig(input_dim=10, latent_dim=2, num_decoders=2,
+                       encoder_hidden=(16,), decoder_hidden=(16,),
+                       decoder_sigma=1.0)
+    cfg = lambda s: TrainConfig(epochs=5, batch_size=64, seed=s)
+    multi = train_evae_multiseed(tiny_data, [3, 7], cfg(0), mcfg,
+                                 log_every=0, block_epochs=2)
+    for s in (3, 7):
+        single = train_evae(tiny_data, cfg(s), mcfg, log_every=0,
+                            block_epochs=2)
+        np.testing.assert_array_equal(multi[s].train_losses,
+                                      single.train_losses)
+        np.testing.assert_array_equal(multi[s].val_losses, single.val_losses)
+        for a, b in zip(jax.tree_util.tree_leaves(multi[s].params),
+                        jax.tree_util.tree_leaves(single.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the two seeds really are different runs
+    assert not np.allclose(multi[3].train_losses, multi[7].train_losses)
+
+
+def test_multiseed_resume_and_foreign_seedlist_refusal(tiny_data, tmp_path):
+    from vae_latent_geometry_tpu.pipeline.train import train_evae_multiseed
+
+    mcfg = ModelConfig(input_dim=10, latent_dim=2, num_decoders=2,
+                       encoder_hidden=(16,), decoder_hidden=(16,),
+                       decoder_sigma=1.0)
+    ref = train_evae_multiseed(tiny_data,
+                               [3, 7], TrainConfig(epochs=4, batch_size=64),
+                               mcfg, log_every=0, block_epochs=2)
+    ckpt = str(tmp_path / "multi_state.npz")
+    train_evae_multiseed(tiny_data, [3, 7],
+                         TrainConfig(epochs=2, batch_size=64), mcfg,
+                         log_every=0, block_epochs=2, checkpoint_path=ckpt)
+    res = train_evae_multiseed(tiny_data, [3, 7],
+                               TrainConfig(epochs=4, batch_size=64), mcfg,
+                               log_every=0, block_epochs=2,
+                               checkpoint_path=ckpt)
+    for s in (3, 7):
+        np.testing.assert_array_equal(res[s].train_losses,
+                                      ref[s].train_losses)
+    with pytest.raises(ValueError, match="different run setup"):
+        train_evae_multiseed(tiny_data, [3, 8],
+                             TrainConfig(epochs=4, batch_size=64), mcfg,
+                             log_every=0, block_epochs=2,
+                             checkpoint_path=ckpt)
+
+
 def test_training_is_deterministic(tiny_data):
     cfg = TrainConfig(epochs=3, batch_size=64, seed=7)
     mcfg = ModelConfig(input_dim=10, latent_dim=2, num_decoders=2,

@@ -97,33 +97,40 @@ def _decoders_of(params):
 def cmd_train(args):
     from vae_latent_geometry_tpu.config import ModelConfig, TrainConfig
     from vae_latent_geometry_tpu.io.checkpoint import save_pytree
-    from vae_latent_geometry_tpu.pipeline.train import train_evae
+    from vae_latent_geometry_tpu.pipeline.train import (train_evae,
+                                                        train_evae_multiseed)
 
     data = _load_data(args)
-    cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
-                      lr=args.lr, seed=args.seed)
     mcfg = ModelConfig(latent_dim=args.latent_dim,
                        num_decoders=args.num_decoders)
-    res = train_evae(data.x, cfg, mcfg)
+    if args.seeds:
+        cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                          lr=args.lr)
+        results = train_evae_multiseed(data.x, args.seeds, cfg, mcfg)
+    else:
+        cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                          lr=args.lr, seed=args.seed)
+        results = {args.seed: train_evae(data.x, cfg, mcfg)}
     out = Path(args.save_dir)
     out.mkdir(parents=True, exist_ok=True)
     from vae_latent_geometry_tpu.config import to_dict
 
-    ckpt = out / f"model_seed{args.seed}.npz"
-    save_pytree(res.params, str(ckpt),
-                extra_meta={"seed": args.seed, "epochs": args.epochs,
-                            "model_config": to_dict(mcfg)})
-    np.save(out / f"train_losses_seed{args.seed}.npy", res.train_losses)
-    np.save(out / f"val_losses_seed{args.seed}.npy", res.val_losses)
-    try:
-        from vae_latent_geometry_tpu.viz import plotting
+    for seed, res in results.items():
+        ckpt = out / f"model_seed{seed}.npz"
+        save_pytree(res.params, str(ckpt),
+                    extra_meta={"seed": seed, "epochs": args.epochs,
+                                "model_config": to_dict(mcfg)})
+        np.save(out / f"train_losses_seed{seed}.npy", res.train_losses)
+        np.save(out / f"val_losses_seed{seed}.npy", res.val_losses)
+        try:
+            from vae_latent_geometry_tpu.viz import plotting
 
-        plotting.plot_loss_curves(
-            res.train_losses, res.val_losses,
-            str(out / "plots" / f"loss_curve_seed{args.seed}.png"))
-    except Exception as ex:  # plotting must never fail the run
-        print(f"[warn] loss-curve plot failed: {ex}")
-    print(f"[ok] saved {ckpt}")
+            plotting.plot_loss_curves(
+                res.train_losses, res.val_losses,
+                str(out / "plots" / f"loss_curve_seed{seed}.png"))
+        except Exception as ex:  # plotting must never fail the run
+            print(f"[warn] loss-curve plot failed: {ex}")
+        print(f"[ok] saved {ckpt}")
 
 
 def cmd_train_single(args):
@@ -458,6 +465,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch-size", type=int, default=64)
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--seed", type=int, default=42)
+    t.add_argument("--seeds", nargs="*", type=int, default=None,
+                   help="train one model per seed in ONE vmapped XLA "
+                        "program (e.g. --seeds 12 123 1234 12345 45 456, "
+                        "the reference's six CoV seeds); overrides --seed")
     t.add_argument("--save-dir", default="experiment")
     t.set_defaults(fn=cmd_train)
 

@@ -85,14 +85,11 @@ def load_train_state(path: str, params_like: Any,
     return tree["params"], tree["opt_state"], meta
 
 
-def load_meta(path: str) -> dict:
-    """Read only the JSON meta sidecar of a checkpoint — cheap (no array
-    decompression) and shape-agnostic, so callers can validate a config
-    stamp BEFORE attempting the structured load (a foreign-config
-    checkpoint should be refused with the stamp diagnostic, not a shape
-    mismatch from deep inside the tree)."""
-    with np.load(path, allow_pickle=False) as f:
-        return json.loads(str(f["__meta__"])) if "__meta__" in f.files else {}
+# alias: callers validating a config stamp before a structured load read
+# the meta sidecar only (shape-agnostic — a foreign-config checkpoint is
+# refused with the stamp diagnostic, not a shape mismatch from deep inside
+# the tree)
+load_meta = read_meta
 
 
 def load_pytree(path: str, like: Any) -> Tuple[Any, dict]:

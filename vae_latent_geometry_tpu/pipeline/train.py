@@ -70,7 +70,39 @@ def make_block_fn(loss_fn: Callable, opt, batch_size: int, cfg: TrainConfig):
     inside ONE jit — one host round trip per block instead of per epoch
     (significant on tunneled backends)."""
 
+    body = _make_block_body(loss_fn, opt, batch_size, cfg)
+
     @partial(jax.jit, static_argnames=("n_epochs",))
+    def train_block(params, opt_state, key, train_x, val_x, epoch0,
+                    n_epochs: int):
+        return body(params, opt_state, key, train_x, val_x, epoch0, n_epochs)
+
+    return train_block
+
+
+def make_multiseed_block_fn(loss_fn: Callable, opt, batch_size: int,
+                            cfg: TrainConfig):
+    """Like :func:`make_block_fn` but vmapped over a leading *seed* axis on
+    (params, opt_state, key, train_x, val_x): S independent training runs
+    advance in ONE XLA program.  The per-batch MLP matmuls acquire a seed
+    batch axis, multiplying MXU arithmetic intensity instead of replaying
+    the whole program S times (the reference trains its 6 seed models as 6
+    serial processes, src/train.py:126)."""
+
+    body = _make_block_body(loss_fn, opt, batch_size, cfg)
+
+    @partial(jax.jit, static_argnames=("n_epochs",))
+    def train_block(params, opt_state, keys, train_x, val_x, epoch0,
+                    n_epochs: int):
+        return jax.vmap(
+            lambda p, o, k, tx, vx: body(p, o, k, tx, vx, epoch0, n_epochs)
+        )(params, opt_state, keys, train_x, val_x)
+
+    return train_block
+
+
+def _make_block_body(loss_fn: Callable, opt, batch_size: int,
+                     cfg: TrainConfig):
     def train_block(params, opt_state, key, train_x, val_x, epoch0,
                     n_epochs: int):
         n = train_x.shape[0]
@@ -275,6 +307,153 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
         val_losses=np.asarray(val_losses),
         best_val_loss=float(val_losses[-1]) if val_losses else float("inf"),
     )
+
+
+def train_evae_multiseed(data: np.ndarray, seeds,
+                         cfg: TrainConfig = TrainConfig(),
+                         model_cfg: ModelConfig = ModelConfig(),
+                         log_every: int = 10,
+                         block_epochs: int = 20,
+                         checkpoint_path: Optional[str] = None,
+                         mesh=None):
+    """Train S independent ensemble VAEs — one per seed — in ONE vmapped
+    XLA program; returns ``{seed: TrainResult}``.
+
+    Each seed's trajectory is exactly the one ``train_evae`` with
+    ``cfg.seed = s`` would produce (same init key, same seeded 90/10 split,
+    same per-epoch shuffle keys); the seed axis is purely a vmap batch axis.
+    The reference needs all six seed models (12..456) for its CoV analysis
+    and trains them as six serial processes (``src/train.py:126``,
+    ``src/eval.py:94``); here the tiny MLP matmuls gain a seed batch axis,
+    so the MXU does 6x the arithmetic per weight load instead of the whole
+    600-epoch program running six times.
+
+    checkpoint_path: as in :func:`train_evae` — the full stacked state
+    (params + Adam moments of every seed) is persisted per block; the stamp
+    covers the seed list, so a resume with different seeds is refused.
+
+    mesh: optional ('dp','ep') :class:`jax.sharding.Mesh`.  The seed axis —
+    embarrassingly parallel (the S runs never communicate) — shards over
+    'dp': every input's leading axis gets ``PartitionSpec('dp')`` and GSPMD
+    partitions the vmapped program with zero collectives, so S seeds on S
+    chips cost one seed's wall clock.  Requires ``S % dp == 0`` (seed runs
+    cannot be split).
+    """
+    seeds = [int(s) for s in seeds]
+    if mesh is not None and len(seeds) % mesh.shape["dp"] != 0:
+        raise ValueError(
+            f"multiseed training shards whole seed runs over 'dp': "
+            f"{len(seeds)} seeds do not divide over dp={mesh.shape['dp']}; "
+            "pick a dp that divides the seed count (or pad the seed list)")
+    per_seed = []
+    for s in seeds:
+        init_key, train_key = jax.random.split(jax.random.PRNGKey(s))
+        params_s = evae_lib.evae_init(init_key, model_cfg)
+        tr_idx, va_idx = train_val_split(len(data), cfg.val_ratio, s)
+        per_seed.append((params_s, train_key, tr_idx, va_idx))
+
+    params = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[p for p, _, _, _ in per_seed])
+    train_keys = jnp.stack([k for _, k, _, _ in per_seed])
+    train_x = jnp.stack([jnp.asarray(data[idx]) for _, _, idx, _ in per_seed])
+    val_x = jnp.stack([jnp.asarray(data[idx]) for _, _, _, idx in per_seed])
+
+    steps_per_epoch = train_x.shape[1] // cfg.batch_size
+    opt = optax.adam(_lr_schedule(cfg, steps_per_epoch))
+    # init per seed then stack EVERY leaf (including adam's scalar step
+    # count, which becomes an (S,) vector) so the whole optimizer state
+    # carries the seed axis and vmaps uniformly with in_axes=0
+    opt_state = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[opt.init(p) for p, _, _, _ in per_seed])
+
+    if mesh is not None:
+        from vae_latent_geometry_tpu.parallel.mesh import named_sharding
+
+        seed_sh = named_sharding(mesh, "dp")  # P('dp'): dim 0 sharded,
+        put = lambda x: jax.device_put(x, seed_sh)  # the rest replicated
+        params = jax.tree_util.tree_map(put, params)
+        opt_state = jax.tree_util.tree_map(put, opt_state)
+        train_keys = put(train_keys)
+        train_x, val_x = put(train_x), put(val_x)
+
+    stamped_cfg = dataclasses.asdict(cfg)
+    del stamped_cfg["epochs"]
+    stamped_cfg["seed"] = None  # superseded by the explicit seed list
+    cfg_stamp = {
+        "cfg": json.dumps(stamped_cfg, sort_keys=True, default=str),
+        "model_cfg": json.dumps(dataclasses.asdict(model_cfg),
+                                sort_keys=True, default=str),
+        "block_epochs": block_epochs,
+        "seeds": seeds,
+    }
+
+    train_losses, val_losses = [], []  # lists of (S,) rows
+    epoch = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        from vae_latent_geometry_tpu.io.checkpoint import (load_meta,
+                                                           load_train_state)
+
+        stored_stamp = load_meta(checkpoint_path).get("cfg_stamp")
+        if stored_stamp != cfg_stamp:
+            raise ValueError(
+                f"multiseed training checkpoint {checkpoint_path!r} was "
+                f"written by a different run setup and cannot be resumed "
+                f"here:\n  checkpoint: {stored_stamp}\n  this run:   "
+                f"{cfg_stamp}\ndelete the checkpoint (or point "
+                "checkpoint_path elsewhere) to start fresh")
+        params, opt_state, meta = load_train_state(
+            checkpoint_path, params, opt_state)
+        if mesh is not None:  # restore the seed-axis sharding lost in the
+            params = jax.tree_util.tree_map(put, params)     # host round
+            opt_state = jax.tree_util.tree_map(put, opt_state)  # trip
+        epoch = int(meta["epoch"])
+        train_losses = [list(r) for r in meta.get("train_losses", [])]
+        val_losses = [list(r) for r in meta.get("val_losses", [])]
+        if log_every:
+            print(f"[resume] multiseed training state restored at epoch "
+                  f"{epoch}")
+
+    loss_fn = lambda p, k, x, beta: evae_lib.neg_elbo(p, k, x, model_cfg)
+    train_block = make_multiseed_block_fn(loss_fn, opt, cfg.batch_size, cfg)
+
+    while epoch < cfg.epochs:
+        n_ep = min(block_epochs, cfg.epochs - epoch)
+        block_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, epoch))(train_keys)
+        params, opt_state, tl, vl = train_block(
+            params, opt_state, block_keys, train_x, val_x, epoch, n_ep)
+        tl, vl = np.asarray(tl), np.asarray(vl)      # (S, n_ep)
+        train_losses.extend(tl.T.tolist())           # rows of (S,)
+        val_losses.extend(vl.T.tolist())
+        if log_every:
+            print(f"epoch {epoch + n_ep:4d} | train "
+                  + " ".join(f"{v:9.2f}" for v in tl[:, -1])
+                  + " | val "
+                  + " ".join(f"{v:9.2f}" for v in vl[:, -1]))
+        epoch += n_ep
+        if checkpoint_path is not None:
+            from vae_latent_geometry_tpu.io.checkpoint import (
+                save_train_state,
+            )
+
+            save_train_state(
+                params, opt_state, checkpoint_path, epoch=epoch,
+                extra_meta={"train_losses": train_losses,
+                            "val_losses": val_losses,
+                            "cfg_stamp": cfg_stamp})
+
+    tl_mat = np.asarray(train_losses)                # (epochs, S)
+    vl_mat = np.asarray(val_losses)
+    results = {}
+    for i, s in enumerate(seeds):
+        results[s] = TrainResult(
+            params=jax.tree_util.tree_map(lambda x: x[i], params),
+            best_params=jax.tree_util.tree_map(lambda x: x[i], params),
+            train_losses=tl_mat[:, i], val_losses=vl_mat[:, i],
+            best_val_loss=float(vl_mat[-1, i]) if len(vl_mat) else float("inf"),
+        )
+    return results
 
 
 def train_single_vae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
