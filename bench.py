@@ -241,7 +241,8 @@ def _workload_wall_clocks() -> dict:
             ("full133_mc_turbo_s", "full133_mc_turbo_timing.json"),
             ("full133_mc_turbo_f32x2_s", "full133_mc_turbo_f32x2_timing.json"),
             ("cov_6300_runs_s", "cov_timing.json"),
-            ("train_600_epochs_s", "train_timing.json")):
+            ("train_600_epochs_s", "train_timing.json"),
+            ("train_6seeds_600_epochs_s", "multiseed_train_timing.json")):
         path = os.path.join(REPO, "experiment", fname)
         if os.path.exists(path):
             try:

@@ -170,3 +170,37 @@ def test_training_is_deterministic(tiny_data):
     r1 = train_evae(tiny_data, cfg, mcfg, log_every=0)
     r2 = train_evae(tiny_data, cfg, mcfg, log_every=0)
     np.testing.assert_allclose(r1.train_losses, r2.train_losses, rtol=1e-6)
+
+
+def test_single_vae_resume_restores_best_val_state(tiny_data, tmp_path):
+    """The single-VAE trainer's full-state resume carries the best-val pair
+    (value + params): an interrupted run continues the exact trajectory AND
+    keeps best-val checkpointing semantics across the boundary."""
+    cfg_full = TrainConfig(epochs=8, batch_size=64, lr=1e-3, seed=5,
+                           beta_warmup_epochs=4, lr_step_size=3,
+                           lr_gamma=0.5)
+    mcfg = ModelConfig(input_dim=10, latent_dim=2, heteroscedastic=True,
+                       encoder_hidden=(32, 16), decoder_hidden=(32,))
+    ref = train_single_vae(tiny_data, cfg_full, mcfg, log_every=0,
+                           block_epochs=2)
+
+    import dataclasses as dc
+
+    import jax
+
+    ckpt = str(tmp_path / "svae_state.npz")
+    train_single_vae(tiny_data, dc.replace(cfg_full, epochs=4), mcfg,
+                     log_every=0, block_epochs=2, checkpoint_path=ckpt)
+    res = train_single_vae(tiny_data, cfg_full, mcfg, log_every=0,
+                           block_epochs=2, checkpoint_path=ckpt)
+    np.testing.assert_array_equal(res.train_losses, ref.train_losses)
+    np.testing.assert_array_equal(res.val_losses, ref.val_losses)
+    assert res.best_val_loss == ref.best_val_loss
+    for x, y in zip(jax.tree_util.tree_leaves(res.best_params),
+                    jax.tree_util.tree_leaves(ref.best_params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    with pytest.raises(ValueError, match="different run setup"):
+        train_single_vae(tiny_data,
+                         dc.replace(cfg_full, lr=2e-3), mcfg, log_every=0,
+                         block_epochs=2, checkpoint_path=ckpt)

@@ -106,11 +106,13 @@ def cmd_train(args):
     if args.seeds:
         cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                           lr=args.lr)
-        results = train_evae_multiseed(data.x, args.seeds, cfg, mcfg)
+        results = train_evae_multiseed(data.x, args.seeds, cfg, mcfg,
+                                       checkpoint_path=args.train_state)
     else:
         cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                           lr=args.lr, seed=args.seed)
-        results = {args.seed: train_evae(data.x, cfg, mcfg)}
+        results = {args.seed: train_evae(data.x, cfg, mcfg,
+                                         checkpoint_path=args.train_state)}
     out = Path(args.save_dir)
     out.mkdir(parents=True, exist_ok=True)
     from vae_latent_geometry_tpu.config import to_dict
@@ -142,7 +144,7 @@ def cmd_train_single(args):
     cfg = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                       lr=args.lr, seed=args.seed,
                       beta_warmup_epochs=30, lr_step_size=200, lr_gamma=0.5)
-    res = train_single_vae(data.x, cfg)
+    res = train_single_vae(data.x, cfg, checkpoint_path=args.train_state)
     out = Path(args.save_dir)
     out.mkdir(parents=True, exist_ok=True)
     from vae_latent_geometry_tpu.config import to_dict
@@ -470,6 +472,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "program (e.g. --seeds 12 123 1234 12345 45 456, "
                         "the reference's six CoV seeds); overrides --seed")
     t.add_argument("--save-dir", default="experiment")
+    t.add_argument("--train-state", default=None,
+                   help="path to a full-training-state checkpoint (params + "
+                        "Adam moments + epoch); written after every block "
+                        "and resumed from if present — the resumed loss "
+                        "curve is bitwise-identical to an uninterrupted run")
     t.set_defaults(fn=cmd_train)
 
     ts = sub.add_parser("train-single", help="train the legacy single VAE")
@@ -479,6 +486,9 @@ def build_parser() -> argparse.ArgumentParser:
     ts.add_argument("--lr", type=float, default=1e-3)
     ts.add_argument("--seed", type=int, default=12)
     ts.add_argument("--save-dir", default="src_artifacts")
+    ts.add_argument("--train-state", default=None,
+                   help="full-training-state checkpoint for resume (incl. "
+                        "the best-val pair)")
     ts.set_defaults(fn=cmd_train_single)
 
     s = sub.add_parser("select-pairs", help="pick class representatives")

@@ -58,24 +58,26 @@ def _lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
     return sched
 
 
-def _beta_at(cfg: TrainConfig, epoch):
-    if cfg.beta_warmup_epochs <= 0:
-        return jnp.asarray(1.0)
-    return jnp.minimum(1.0, epoch / cfg.beta_warmup_epochs)
-
-
-def make_block_fn(loss_fn: Callable, opt, batch_size: int, cfg: TrainConfig):
+def make_block_fn(loss_fn: Callable, opt, batch_size: int, cfg: TrainConfig,
+                  track_best: bool = False):
     """Jitted multi-epoch training block: scans ``n_epochs`` epochs (shuffle,
     batch scan, per-epoch val loss, beta warm-up by absolute epoch index)
     inside ONE jit — one host round trip per block instead of per epoch
-    (significant on tunneled backends)."""
+    (significant on tunneled backends).
 
-    body = _make_block_body(loss_fn, opt, batch_size, cfg)
+    track_best: carry (best_val, best_params) through the epoch scan (the
+    single-VAE trainer's best-val checkpointing, reference
+    ``src/single_decoder/vae_train.py:99-101`` — done on device instead of a
+    host-side deepcopy per epoch); the block then takes and returns the two
+    extra operands."""
+
+    body = _make_block_body(loss_fn, opt, batch_size, cfg, track_best)
 
     @partial(jax.jit, static_argnames=("n_epochs",))
     def train_block(params, opt_state, key, train_x, val_x, epoch0,
-                    n_epochs: int):
-        return body(params, opt_state, key, train_x, val_x, epoch0, n_epochs)
+                    n_epochs: int, *best):
+        return body(params, opt_state, key, train_x, val_x, epoch0,
+                    n_epochs, *best)
 
     return train_block
 
@@ -102,9 +104,9 @@ def make_multiseed_block_fn(loss_fn: Callable, opt, batch_size: int,
 
 
 def _make_block_body(loss_fn: Callable, opt, batch_size: int,
-                     cfg: TrainConfig):
+                     cfg: TrainConfig, track_best: bool = False):
     def train_block(params, opt_state, key, train_x, val_x, epoch0,
-                    n_epochs: int):
+                    n_epochs: int, *best):
         n = train_x.shape[0]
         n_batches = n // batch_size
         vb = min(batch_size, val_x.shape[0])
@@ -112,7 +114,7 @@ def _make_block_body(loss_fn: Callable, opt, batch_size: int,
         val_b = val_x[: v_batches * vb].reshape(v_batches, vb, -1)
 
         def epoch(carry, e_idx):
-            params, opt_state = carry
+            params, opt_state, best_val, best_params = carry
             ekey = jax.random.fold_in(key, e_idx)
             beta = (jnp.minimum(1.0, (epoch0 + e_idx) / cfg.beta_warmup_epochs)
                     if cfg.beta_warmup_epochs > 0 else jnp.asarray(1.0))
@@ -136,59 +138,26 @@ def _make_block_body(loss_fn: Callable, opt, batch_size: int,
                 lambda c, inp: (c, loss_fn(params, inp[1], inp[0],
                                            jnp.asarray(1.0))),
                 None, (val_b, vkeys))[1]
-            return (params, opt_state), (jnp.mean(losses), jnp.mean(vlosses))
+            vmean = jnp.mean(vlosses)
+            if track_best:
+                better = vmean < best_val
+                best_val = jnp.where(better, vmean, best_val)
+                best_params = jax.tree_util.tree_map(
+                    lambda bp, p: jnp.where(better, p, bp), best_params,
+                    params)
+            return ((params, opt_state, best_val, best_params),
+                    (jnp.mean(losses), vmean))
 
-        (params, opt_state), (tl, vl) = jax.lax.scan(
-            epoch, (params, opt_state), jnp.arange(n_epochs))
+        if not track_best:
+            best = (jnp.asarray(0.0), jnp.asarray(0.0))  # inert tiny carry
+        carry, (tl, vl) = jax.lax.scan(
+            epoch, (params, opt_state) + tuple(best), jnp.arange(n_epochs))
+        params, opt_state, best_val, best_params = carry
+        if track_best:
+            return params, opt_state, tl, vl, best_val, best_params
         return params, opt_state, tl, vl
 
     return train_block
-
-
-def make_epoch_fn(loss_fn: Callable, opt, batch_size: int):
-    """Build jitted train-epoch and eval-epoch functions.
-
-    loss_fn(params, key, x, beta) -> scalar negative ELBO for one batch.
-    """
-
-    @partial(jax.jit, static_argnames=())
-    def train_epoch(params, opt_state, key, train_x, beta):
-        n = train_x.shape[0]
-        n_batches = n // batch_size
-        perm_key, scan_key = jax.random.split(key)
-        perm = jax.random.permutation(perm_key, n)
-        batches = train_x[perm[: n_batches * batch_size]].reshape(
-            n_batches, batch_size, -1
-        )
-
-        def step(carry, inp):
-            params, opt_state = carry
-            x, k = inp
-            loss, grads = jax.value_and_grad(loss_fn)(params, k, x, beta)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        keys = jax.random.split(scan_key, n_batches)
-        (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), (batches, keys)
-        )
-        return params, opt_state, jnp.mean(losses)
-
-    @jax.jit
-    def eval_epoch(params, key, val_x, beta):
-        n = val_x.shape[0]
-        bs = min(batch_size, n)
-        n_batches = n // bs
-        batches = val_x[: n_batches * bs].reshape(n_batches, bs, -1)
-        keys = jax.random.split(key, n_batches)
-        losses = jax.lax.scan(
-            lambda c, inp: (c, loss_fn(params, inp[1], inp[0], beta)),
-            None, (batches, keys),
-        )[1]
-        return jnp.mean(losses)
-
-    return train_epoch, eval_epoch
 
 
 def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
@@ -460,9 +429,22 @@ def train_single_vae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
                      model_cfg: ModelConfig = vae_lib.LEGACY_CONFIG,
                      params: Optional[vae_lib.VAEParams] = None,
                      log_every: int = 10,
-                     callback: Optional[Callable] = None) -> TrainResult:
+                     callback: Optional[Callable] = None,
+                     block_epochs: int = 20,
+                     checkpoint_path: Optional[str] = None) -> TrainResult:
     """Train the legacy single VAE with beta warm-up + StepLR + best-val
-    tracking (reference ``src/single_decoder/vae_train.py``)."""
+    tracking (reference ``src/single_decoder/vae_train.py``: beta =
+    min(1, epoch/30) at :77, StepLR(200, 0.5) at :63, best-val checkpoint
+    at :99-101).
+
+    Runs in the same jitted multi-epoch blocks as :func:`train_evae`, with
+    the best-val state (value + params) carried INSIDE the epoch scan —
+    per-epoch best tracking without a host round trip per epoch (the
+    reference deepcopies the model on the host every improvement).
+
+    checkpoint_path: full-state resume as in :func:`train_evae`; the best
+    (val, params) pair is part of the persisted state, so a resumed run
+    restores the same best-val checkpoint semantics."""
     key = jax.random.PRNGKey(cfg.seed)
     init_key, train_key = jax.random.split(key)
     if params is None:
@@ -474,38 +456,80 @@ def train_single_vae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
 
     opt = optax.adam(_lr_schedule(cfg, len(train_idx) // cfg.batch_size))
     opt_state = opt.init(params)
+    best_val = jnp.asarray(jnp.inf)
+    best_params = params
+
+    stamped_cfg = dataclasses.asdict(cfg)
+    del stamped_cfg["epochs"]
+    cfg_stamp = {
+        "cfg": json.dumps(stamped_cfg, sort_keys=True, default=str),
+        "model_cfg": json.dumps(dataclasses.asdict(model_cfg),
+                                sort_keys=True, default=str),
+        "block_epochs": block_epochs,
+        "family": "single_vae",
+    }
+
+    train_losses, val_losses = [], []
+    epoch = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        from vae_latent_geometry_tpu.io.checkpoint import (load_meta,
+                                                           load_pytree)
+
+        stored_stamp = load_meta(checkpoint_path).get("cfg_stamp")
+        if stored_stamp != cfg_stamp:
+            raise ValueError(
+                f"single-VAE training checkpoint {checkpoint_path!r} was "
+                f"written by a different run setup and cannot be resumed "
+                f"here:\n  checkpoint: {stored_stamp}\n  this run:   "
+                f"{cfg_stamp}\ndelete the checkpoint (or point "
+                "checkpoint_path elsewhere) to start fresh")
+        tree, meta = load_pytree(
+            checkpoint_path, {"params": params, "opt_state": opt_state,
+                              "best_val": best_val,
+                              "best_params": best_params})
+        params, opt_state = tree["params"], tree["opt_state"]
+        best_val, best_params = tree["best_val"], tree["best_params"]
+        epoch = int(meta["epoch"])
+        train_losses = list(meta.get("train_losses", []))
+        val_losses = list(meta.get("val_losses", []))
+        if log_every:
+            print(f"[resume] single-VAE training state restored at epoch "
+                  f"{epoch}")
 
     loss_fn = lambda p, k, x, beta: -vae_lib.elbo(p, k, x, beta, model_cfg)
-    train_epoch, eval_epoch = make_epoch_fn(loss_fn, opt, cfg.batch_size)
+    train_block = make_block_fn(loss_fn, opt, cfg.batch_size, cfg,
+                                track_best=True)
 
-    return _run_loop(params, opt_state, train_epoch, eval_epoch, train_key,
-                     train_x, val_x, cfg, log_every, callback,
-                     track_best=True)
-
-
-def _run_loop(params, opt_state, train_epoch, eval_epoch, key, train_x, val_x,
-              cfg: TrainConfig, log_every: int, callback, track_best=False):
-    train_losses, val_losses = [], []
-    best_val, best_params = float("inf"), params
-    for epoch in range(cfg.epochs):
-        ekey = jax.random.fold_in(key, epoch)
-        beta = _beta_at(cfg, epoch)
-        params, opt_state, tl = train_epoch(params, opt_state, ekey, train_x, beta)
-        vl = eval_epoch(params, jax.random.fold_in(ekey, 1), val_x,
-                        jnp.asarray(1.0))
-        tl, vl = float(tl), float(vl)
-        train_losses.append(tl)
-        val_losses.append(vl)
-        if track_best and vl < best_val:
-            best_val, best_params = vl, params
-        if log_every and (epoch % log_every == 0 or epoch == cfg.epochs - 1):
-            print(f"epoch {epoch + 1:4d} | train {tl:10.3f} | val {vl:10.3f}")
+    while epoch < cfg.epochs:
+        n_ep = min(block_epochs, cfg.epochs - epoch)
+        params, opt_state, tl, vl, best_val, best_params = train_block(
+            params, opt_state, jax.random.fold_in(train_key, epoch),
+            train_x, val_x, epoch, n_ep, best_val, best_params)
+        tl, vl = np.asarray(tl), np.asarray(vl)
+        train_losses.extend(tl.tolist())
+        val_losses.extend(vl.tolist())
+        if log_every:
+            print(f"epoch {epoch + n_ep:4d} | train {tl[-1]:10.3f} "
+                  f"| val {vl[-1]:10.3f}")
         if callback is not None:
-            callback(epoch, params, tl, vl)
-    if not track_best:
-        best_val, best_params = (val_losses[-1] if val_losses else float("inf")), params
+            callback(epoch + n_ep - 1, params, float(tl[-1]), float(vl[-1]))
+        epoch += n_ep
+        if checkpoint_path is not None:
+            from vae_latent_geometry_tpu.io.checkpoint import save_pytree
+
+            tmp = checkpoint_path + ".tmp.npz"
+            save_pytree({"params": params, "opt_state": opt_state,
+                         "best_val": best_val, "best_params": best_params},
+                        tmp,
+                        extra_meta={"epoch": epoch,
+                                    "train_losses": train_losses,
+                                    "val_losses": val_losses,
+                                    "cfg_stamp": cfg_stamp})
+            os.replace(tmp, checkpoint_path)
+
     return TrainResult(
         params=params, best_params=best_params,
-        train_losses=np.asarray(train_losses), val_losses=np.asarray(val_losses),
-        best_val_loss=best_val,
+        train_losses=np.asarray(train_losses),
+        val_losses=np.asarray(val_losses),
+        best_val_loss=float(best_val),
     )
