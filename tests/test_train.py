@@ -204,3 +204,41 @@ def test_single_vae_resume_restores_best_val_state(tiny_data, tmp_path):
         train_single_vae(tiny_data,
                          dc.replace(cfg_full, lr=2e-3), mcfg, log_every=0,
                          block_epochs=2, checkpoint_path=ckpt)
+
+
+def test_resume_is_block_boundary_invariant(tiny_data, tmp_path):
+    """Regression (review finding): per-epoch RNG keys are folded by
+    ABSOLUTE epoch index off the run key, so a resume from an epoch that is
+    NOT a multiple of block_epochs — and even a resume with a DIFFERENT
+    block_epochs — replays the uninterrupted trajectory bitwise."""
+    mcfg = ModelConfig(input_dim=10, latent_dim=2, num_decoders=2,
+                       encoder_hidden=(16,), decoder_hidden=(16,),
+                       decoder_sigma=1.0)
+    cfg_full = TrainConfig(epochs=5, batch_size=64, seed=4)
+    ref = train_evae(tiny_data, cfg_full, mcfg, log_every=0, block_epochs=2)
+
+    ckpt = str(tmp_path / "misaligned.npz")
+    # interrupt at epoch 3 (not a multiple of the resume's block_epochs=2)
+    train_evae(tiny_data, TrainConfig(epochs=3, batch_size=64, seed=4),
+               mcfg, log_every=0, block_epochs=3, checkpoint_path=ckpt)
+    res = train_evae(tiny_data, cfg_full, mcfg, log_every=0, block_epochs=2,
+                     checkpoint_path=ckpt)
+    np.testing.assert_array_equal(res.train_losses, ref.train_losses)
+    np.testing.assert_array_equal(res.val_losses, ref.val_losses)
+
+
+def test_multiseed_rejects_duplicate_seeds_and_empty_budget(tiny_data):
+    from vae_latent_geometry_tpu.pipeline.train import train_evae_multiseed
+
+    mcfg = ModelConfig(input_dim=10, latent_dim=2, num_decoders=2,
+                       encoder_hidden=(16,), decoder_hidden=(16,),
+                       decoder_sigma=1.0)
+    with pytest.raises(ValueError, match="duplicate seeds"):
+        train_evae_multiseed(tiny_data, [3, 3, 7],
+                             TrainConfig(epochs=1, batch_size=64), mcfg,
+                             log_every=0)
+    # epochs=0: empty loss curves, no crash (review finding)
+    res = train_evae_multiseed(tiny_data, [3, 7],
+                               TrainConfig(epochs=0, batch_size=64), mcfg,
+                               log_every=0)
+    assert res[3].train_losses.shape == (0,)

@@ -467,7 +467,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--batch-size", type=int, default=64)
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--seed", type=int, default=42)
-    t.add_argument("--seeds", nargs="*", type=int, default=None,
+    t.add_argument("--seeds", nargs="+", type=int, default=None,
                    help="train one model per seed in ONE vmapped XLA "
                         "program (e.g. --seeds 12 123 1234 12345 45 456, "
                         "the reference's six CoV seeds); overrides --seed")

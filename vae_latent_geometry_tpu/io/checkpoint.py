@@ -62,26 +62,38 @@ def read_meta(path: str) -> dict:
 
 
 def save_train_state(params: Any, opt_state: Any, path: str, *, epoch: int,
-                     extra_meta: Optional[dict] = None) -> None:
+                     extra_meta: Optional[dict] = None,
+                     extra_state: Optional[dict] = None) -> None:
     """Persist a full training state: params AND optimizer state (Adam
     moments etc.) plus the epoch counter, so a resumed run continues the
     same optimization trajectory instead of restarting the moments (the
     reference has no resume at all, ``src/train.py:165``; SURVEY §5 plans
     "optimizer/omega state for resume").  Atomic: written to a temp file and
-    renamed, so a crash mid-save never corrupts the previous checkpoint."""
+    renamed, so a crash mid-save never corrupts the previous checkpoint.
+
+    extra_state: additional array pytrees stored alongside params/opt_state
+    (e.g. the single-VAE trainer's best-val pair); keys must not collide
+    with 'params'/'opt_state'."""
     meta = {"epoch": int(epoch), **(extra_meta or {})}
+    tree = {"params": params, "opt_state": opt_state, **(extra_state or {})}
     tmp = path + ".tmp.npz"
-    save_pytree({"params": params, "opt_state": opt_state}, tmp, meta)
+    save_pytree(tree, tmp, meta)
     os.replace(tmp, path)
 
 
-def load_train_state(path: str, params_like: Any,
-                     opt_state_like: Any) -> Tuple[Any, Any, dict]:
+def load_train_state(path: str, params_like: Any, opt_state_like: Any,
+                     extra_state_like: Optional[dict] = None,
+                     ) -> Tuple[Any, Any, dict]:
     """Restore (params, opt_state, meta) saved by :func:`save_train_state`.
     ``params_like`` / ``opt_state_like`` supply the pytree structure (build
-    them with the same init + ``opt.init`` as the original run)."""
-    tree, meta = load_pytree(
-        path, {"params": params_like, "opt_state": opt_state_like})
+    them with the same init + ``opt.init`` as the original run).  With
+    ``extra_state_like`` returns (params, opt_state, extra_state, meta)."""
+    like = {"params": params_like, "opt_state": opt_state_like,
+            **(extra_state_like or {})}
+    tree, meta = load_pytree(path, like)
+    if extra_state_like is not None:
+        extra = {k: tree[k] for k in extra_state_like}
+        return tree["params"], tree["opt_state"], extra, meta
     return tree["params"], tree["opt_state"], meta
 
 

@@ -107,6 +107,11 @@ def _make_block_body(loss_fn: Callable, opt, batch_size: int,
                      cfg: TrainConfig, track_best: bool = False):
     def train_block(params, opt_state, key, train_x, val_x, epoch0,
                     n_epochs: int, *best):
+        if val_x.shape[0] == 0:
+            raise ValueError(
+                "empty validation split — per-epoch val losses are part of "
+                "the training contract (best-val tracking, loss curves); "
+                "use a val_ratio that keeps at least one row")
         n = train_x.shape[0]
         n_batches = n // batch_size
         vb = min(batch_size, val_x.shape[0])
@@ -115,7 +120,11 @@ def _make_block_body(loss_fn: Callable, opt, batch_size: int,
 
         def epoch(carry, e_idx):
             params, opt_state, best_val, best_params = carry
-            ekey = jax.random.fold_in(key, e_idx)
+            # keyed by ABSOLUTE epoch index off the run key, so the epoch's
+            # randomness is independent of how the run is partitioned into
+            # blocks — a resumed run (any boundary) and any block_epochs
+            # choice replay the identical trajectory
+            ekey = jax.random.fold_in(key, epoch0 + e_idx)
             beta = (jnp.minimum(1.0, (epoch0 + e_idx) / cfg.beta_warmup_epochs)
                     if cfg.beta_warmup_epochs > 0 else jnp.asarray(1.0))
             perm = jax.random.permutation(jax.random.fold_in(ekey, 0), n)
@@ -160,6 +169,51 @@ def _make_block_body(loss_fn: Callable, opt, batch_size: int,
     return train_block
 
 
+def _cfg_stamp(cfg: TrainConfig, model_cfg: ModelConfig,
+               drop_seed: bool = False, **extra) -> dict:
+    """Serialize every trajectory-affecting input of a training run into a
+    comparable stamp.  A resumed checkpoint is refused unless its stamp
+    matches exactly (same policy as optimize_spline_batch's cfg_stamp).
+
+    Deliberately EXCLUDED, because they do not affect the trajectory:
+    ``epochs`` (a stop budget — "resume the same run with a larger budget"
+    is the canonical legitimate resume) and ``block_epochs`` (per-epoch RNG
+    keys are folded by ABSOLUTE epoch index off the run key, so the block
+    partitioning — and therefore any resume boundary — cannot change the
+    trajectory).  drop_seed: for the multiseed trainer, whose explicit seed
+    list supersedes cfg.seed."""
+    stamped = dataclasses.asdict(cfg)
+    del stamped["epochs"]
+    if drop_seed:
+        stamped["seed"] = None
+    return {
+        "cfg": json.dumps(stamped, sort_keys=True, default=str),
+        "model_cfg": json.dumps(dataclasses.asdict(model_cfg),
+                                sort_keys=True, default=str),
+        **extra,
+    }
+
+
+def _check_resume_stamp(path: str, cfg_stamp: dict, label: str) -> None:
+    """Validate a checkpoint's config stamp BEFORE the structured load (a
+    foreign-config checkpoint must be refused with the stamp diagnostic,
+    not a shape mismatch from deep inside the tree)."""
+    from vae_latent_geometry_tpu.io.checkpoint import load_meta
+
+    stored_stamp = load_meta(path).get("cfg_stamp")
+    if stored_stamp is None:
+        warn(f"{label} checkpoint {path!r} carries no config stamp "
+             "(pre-stamp format); resuming without validation — the "
+             "restored trajectory may not match this run's config")
+    elif stored_stamp != cfg_stamp:
+        raise ValueError(
+            f"{label} checkpoint {path!r} was written by a different run "
+            f"setup and cannot be resumed here:\n"
+            f"  checkpoint: {stored_stamp}\n  this run:   {cfg_stamp}\n"
+            "delete the checkpoint (or point checkpoint_path elsewhere) "
+            "to start fresh")
+
+
 def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
                model_cfg: ModelConfig = ModelConfig(),
                params: Optional[evae_lib.EVAEParams] = None,
@@ -176,9 +230,9 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
     checkpoint_path: when set, the FULL training state (params + Adam
     moments + epoch + loss history) is persisted after every block and a
     preempted run resumes exactly where it stopped — the resumed loss curve
-    is bitwise-identical to the uninterrupted one (keys are folded by
-    absolute epoch index, and blocks align as long as ``block_epochs``
-    matches)."""
+    is bitwise-identical to the uninterrupted one regardless of where the
+    interruption fell or what ``block_epochs`` either run used (per-epoch
+    keys are folded by absolute epoch index off the run key)."""
     key = jax.random.PRNGKey(cfg.seed)
     init_key, train_key = jax.random.split(key)
     if params is None:
@@ -191,49 +245,14 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
     opt = optax.adam(_lr_schedule(cfg, len(train_idx) // cfg.batch_size))
     opt_state = opt.init(params)
 
-    # config stamp: the resumed trajectory is only identical to the
-    # uninterrupted one if EVERY trajectory-affecting input matches —
-    # TrainConfig (seed, lr schedule, beta, batch_size, ...), the model
-    # config, and block_epochs (keys are folded at block starts).  The
-    # stamp is written into every snapshot and verified on resume; a
-    # checkpoint from a different run setup is refused, not silently mixed
-    # (same policy as optimize_spline_batch's cfg_stamp).  ``epochs`` is
-    # deliberately EXCLUDED: it is a stop budget, not a trajectory input
-    # (the lr schedule keys on lr_step_size x steps_per_epoch and beta
-    # warm-up on the absolute epoch index — neither reads the total), and
-    # "resume the same run with a larger epoch budget" is the canonical
-    # legitimate resume.
-    stamped_cfg = dataclasses.asdict(cfg)
-    del stamped_cfg["epochs"]
-    cfg_stamp = {
-        "cfg": json.dumps(stamped_cfg, sort_keys=True, default=str),
-        "model_cfg": json.dumps(dataclasses.asdict(model_cfg),
-                                sort_keys=True, default=str),
-        "block_epochs": block_epochs,
-    }
+    cfg_stamp = _cfg_stamp(cfg, model_cfg)
 
     train_losses, val_losses = [], []
     epoch = 0
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        from vae_latent_geometry_tpu.io.checkpoint import (load_meta,
-                                                           load_train_state)
+        from vae_latent_geometry_tpu.io.checkpoint import load_train_state
 
-        # stamp check FIRST (meta-only read): a foreign-config checkpoint
-        # must be refused with the stamp diagnostic even when its array
-        # shapes would not match this run's template either
-        stored_stamp = load_meta(checkpoint_path).get("cfg_stamp")
-        if stored_stamp is None:
-            warn(f"training checkpoint {checkpoint_path!r} carries no "
-                 "config stamp (pre-stamp format); resuming without "
-                 "validation — the restored trajectory may not match "
-                 "this run's config")
-        elif stored_stamp != cfg_stamp:
-            raise ValueError(
-                f"training checkpoint {checkpoint_path!r} was written by a "
-                f"different run setup and cannot be resumed here:\n"
-                f"  checkpoint: {stored_stamp}\n  this run:   {cfg_stamp}\n"
-                "delete the checkpoint (or point checkpoint_path elsewhere) "
-                "to start fresh")
+        _check_resume_stamp(checkpoint_path, cfg_stamp, "training")
         params, opt_state, meta = load_train_state(
             checkpoint_path, params, opt_state)
         epoch = int(meta["epoch"])
@@ -248,8 +267,7 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
     while epoch < cfg.epochs:
         n_ep = min(block_epochs, cfg.epochs - epoch)
         params, opt_state, tl, vl = train_block(
-            params, opt_state, jax.random.fold_in(train_key, epoch),
-            train_x, val_x, epoch, n_ep)
+            params, opt_state, train_key, train_x, val_x, epoch, n_ep)
         tl, vl = np.asarray(tl), np.asarray(vl)
         train_losses.extend(tl.tolist())
         val_losses.extend(vl.tolist())
@@ -257,6 +275,9 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
             print(f"epoch {epoch + n_ep:4d} | train {tl[-1]:10.3f} "
                   f"| val {vl[-1]:10.3f}")
         if callback is not None:
+            # NOTE: invoked once per BLOCK (epoch index of the block's last
+            # epoch, block-final params/losses) — per-epoch hooks would
+            # force a host round trip per epoch, defeating the block design
             callback(epoch + n_ep - 1, params, float(tl[-1]), float(vl[-1]))
         epoch += n_ep
         if checkpoint_path is not None:
@@ -309,6 +330,11 @@ def train_evae_multiseed(data: np.ndarray, seeds,
     cannot be split).
     """
     seeds = [int(s) for s in seeds]
+    if len(set(seeds)) != len(seeds):
+        raise ValueError(
+            f"duplicate seeds in {seeds}: each vmapped run costs a full "
+            "seed's compute but duplicates collapse in the results dict — "
+            "pass each seed once")
     if mesh is not None and len(seeds) % mesh.shape["dp"] != 0:
         raise ValueError(
             f"multiseed training shards whole seed runs over 'dp': "
@@ -346,31 +372,15 @@ def train_evae_multiseed(data: np.ndarray, seeds,
         train_keys = put(train_keys)
         train_x, val_x = put(train_x), put(val_x)
 
-    stamped_cfg = dataclasses.asdict(cfg)
-    del stamped_cfg["epochs"]
-    stamped_cfg["seed"] = None  # superseded by the explicit seed list
-    cfg_stamp = {
-        "cfg": json.dumps(stamped_cfg, sort_keys=True, default=str),
-        "model_cfg": json.dumps(dataclasses.asdict(model_cfg),
-                                sort_keys=True, default=str),
-        "block_epochs": block_epochs,
-        "seeds": seeds,
-    }
+    cfg_stamp = _cfg_stamp(cfg, model_cfg, drop_seed=True, seeds=seeds)
 
     train_losses, val_losses = [], []  # lists of (S,) rows
     epoch = 0
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        from vae_latent_geometry_tpu.io.checkpoint import (load_meta,
-                                                           load_train_state)
+        from vae_latent_geometry_tpu.io.checkpoint import load_train_state
 
-        stored_stamp = load_meta(checkpoint_path).get("cfg_stamp")
-        if stored_stamp != cfg_stamp:
-            raise ValueError(
-                f"multiseed training checkpoint {checkpoint_path!r} was "
-                f"written by a different run setup and cannot be resumed "
-                f"here:\n  checkpoint: {stored_stamp}\n  this run:   "
-                f"{cfg_stamp}\ndelete the checkpoint (or point "
-                "checkpoint_path elsewhere) to start fresh")
+        _check_resume_stamp(checkpoint_path, cfg_stamp,
+                            "multiseed training")
         params, opt_state, meta = load_train_state(
             checkpoint_path, params, opt_state)
         if mesh is not None:  # restore the seed-axis sharding lost in the
@@ -388,10 +398,8 @@ def train_evae_multiseed(data: np.ndarray, seeds,
 
     while epoch < cfg.epochs:
         n_ep = min(block_epochs, cfg.epochs - epoch)
-        block_keys = jax.vmap(
-            lambda k: jax.random.fold_in(k, epoch))(train_keys)
         params, opt_state, tl, vl = train_block(
-            params, opt_state, block_keys, train_x, val_x, epoch, n_ep)
+            params, opt_state, train_keys, train_x, val_x, epoch, n_ep)
         tl, vl = np.asarray(tl), np.asarray(vl)      # (S, n_ep)
         train_losses.extend(tl.T.tolist())           # rows of (S,)
         val_losses.extend(vl.T.tolist())
@@ -412,8 +420,10 @@ def train_evae_multiseed(data: np.ndarray, seeds,
                             "val_losses": val_losses,
                             "cfg_stamp": cfg_stamp})
 
-    tl_mat = np.asarray(train_losses)                # (epochs, S)
-    vl_mat = np.asarray(val_losses)
+    # reshape guards the epochs=0 / empty-history case (np.asarray([]) is
+    # 1-D and would reject the [:, i] column index)
+    tl_mat = np.asarray(train_losses).reshape(-1, len(seeds))  # (epochs, S)
+    vl_mat = np.asarray(val_losses).reshape(-1, len(seeds))
     results = {}
     for i, s in enumerate(seeds):
         results[s] = TrainResult(
@@ -459,36 +469,20 @@ def train_single_vae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
     best_val = jnp.asarray(jnp.inf)
     best_params = params
 
-    stamped_cfg = dataclasses.asdict(cfg)
-    del stamped_cfg["epochs"]
-    cfg_stamp = {
-        "cfg": json.dumps(stamped_cfg, sort_keys=True, default=str),
-        "model_cfg": json.dumps(dataclasses.asdict(model_cfg),
-                                sort_keys=True, default=str),
-        "block_epochs": block_epochs,
-        "family": "single_vae",
-    }
+    cfg_stamp = _cfg_stamp(cfg, model_cfg, family="single_vae")
 
     train_losses, val_losses = [], []
     epoch = 0
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        from vae_latent_geometry_tpu.io.checkpoint import (load_meta,
-                                                           load_pytree)
+        from vae_latent_geometry_tpu.io.checkpoint import load_train_state
 
-        stored_stamp = load_meta(checkpoint_path).get("cfg_stamp")
-        if stored_stamp != cfg_stamp:
-            raise ValueError(
-                f"single-VAE training checkpoint {checkpoint_path!r} was "
-                f"written by a different run setup and cannot be resumed "
-                f"here:\n  checkpoint: {stored_stamp}\n  this run:   "
-                f"{cfg_stamp}\ndelete the checkpoint (or point "
-                "checkpoint_path elsewhere) to start fresh")
-        tree, meta = load_pytree(
-            checkpoint_path, {"params": params, "opt_state": opt_state,
-                              "best_val": best_val,
+        _check_resume_stamp(checkpoint_path, cfg_stamp,
+                            "single-VAE training")
+        params, opt_state, extra, meta = load_train_state(
+            checkpoint_path, params, opt_state,
+            extra_state_like={"best_val": best_val,
                               "best_params": best_params})
-        params, opt_state = tree["params"], tree["opt_state"]
-        best_val, best_params = tree["best_val"], tree["best_params"]
+        best_val, best_params = extra["best_val"], extra["best_params"]
         epoch = int(meta["epoch"])
         train_losses = list(meta.get("train_losses", []))
         val_losses = list(meta.get("val_losses", []))
@@ -503,7 +497,7 @@ def train_single_vae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
     while epoch < cfg.epochs:
         n_ep = min(block_epochs, cfg.epochs - epoch)
         params, opt_state, tl, vl, best_val, best_params = train_block(
-            params, opt_state, jax.random.fold_in(train_key, epoch),
+            params, opt_state, train_key,
             train_x, val_x, epoch, n_ep, best_val, best_params)
         tl, vl = np.asarray(tl), np.asarray(vl)
         train_losses.extend(tl.tolist())
@@ -515,17 +509,17 @@ def train_single_vae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
             callback(epoch + n_ep - 1, params, float(tl[-1]), float(vl[-1]))
         epoch += n_ep
         if checkpoint_path is not None:
-            from vae_latent_geometry_tpu.io.checkpoint import save_pytree
+            from vae_latent_geometry_tpu.io.checkpoint import (
+                save_train_state,
+            )
 
-            tmp = checkpoint_path + ".tmp.npz"
-            save_pytree({"params": params, "opt_state": opt_state,
-                         "best_val": best_val, "best_params": best_params},
-                        tmp,
-                        extra_meta={"epoch": epoch,
-                                    "train_losses": train_losses,
-                                    "val_losses": val_losses,
-                                    "cfg_stamp": cfg_stamp})
-            os.replace(tmp, checkpoint_path)
+            save_train_state(
+                params, opt_state, checkpoint_path, epoch=epoch,
+                extra_meta={"train_losses": train_losses,
+                            "val_losses": val_losses,
+                            "cfg_stamp": cfg_stamp},
+                extra_state={"best_val": best_val,
+                             "best_params": best_params})
 
     return TrainResult(
         params=params, best_params=best_params,
