@@ -464,7 +464,11 @@ def stage_train_multiseed():
                 "(tests/test_train.py::test_multiseed_training_matches_"
                 "serial_runs); on TPU the batched matmul tilings may "
                 "reassociate sums, so the cross-check here is final-loss "
-                "agreement",
+                "agreement.  Speedup is sub-linear in S (3x, not 6x) "
+                "because only the MLP matmuls gain arithmetic intensity "
+                "from the seed axis; the per-epoch shuffle gather, "
+                "LayerNorm/VPU work and optimizer update scale linearly "
+                "with S at bs=64 per seed",
     })
     print(f"[train-multiseed] 6 seeds in {wall:.1f}s "
           f"(serial est {6 * serial_one:.1f}s, "

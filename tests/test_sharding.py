@@ -360,3 +360,21 @@ def test_multiseed_training_shards_seed_axis(mesh8, rng):
     with pytest.raises(ValueError, match="do not divide over dp"):
         train_evae_multiseed(tiny_data, seeds[:3], cfg, mcfg, log_every=0,
                              block_epochs=2, mesh=mesh8)
+
+
+def test_sharded_optimize_refuses_early_stop_directly(mesh8, ensemble, rng):
+    """Regression (review finding): the early_stop refusal lives in
+    sharded_optimize_splines itself, not only in the pipeline wrapper — a
+    direct API caller must get the error, not a silent fixed-step run."""
+    from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+
+    basis, _ = nullspace_basis(4)
+    B = 4
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    cfg = GeodesicConfig(steps=5, early_stop=True,
+                         energy=EnergyConfig(num_t=32, mode="expected"))
+    with pytest.raises(ValueError, match="not supported on a sharded"):
+        sharded_optimize_splines(ensemble, jnp.zeros((B, 5, 2)), a, b,
+                                 basis, cfg, mesh8)

@@ -312,3 +312,59 @@ def test_resume_refuses_same_steps_different_recipe(tmp_path, rng, capsys):
     optimize_spline_batch(params, art, cfg=cfg_ladder, checkpoint_path=ckpt,
                           log_every_chunk=True)
     assert "different config" in capsys.readouterr().err
+
+
+def test_optimize_stage_ignores_unstamped_checkpoint(tmp_path, rng, capsys):
+    """Regression (review finding): a checkpoint whose metadata carries no
+    config stamp cannot be validated, so it must be loudly IGNORED and the
+    run recomputed — not silently resumed (it may hold another recipe's
+    results)."""
+    import dataclasses
+
+    from vae_latent_geometry_tpu.geometry.basis import nullspace_basis
+    from vae_latent_geometry_tpu.io.artifacts import (
+        SplineBatchArtifact,
+        load_spline_batch,
+        save_spline_batch,
+    )
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    params = vae_init(jax.random.PRNGKey(4))
+    basis, _ = nullspace_basis(4)
+    P = 4
+    art = SplineBatchArtifact(
+        a=rng.normal(size=(P, 2)).astype(np.float32),
+        b=rng.normal(size=(P, 2)).astype(np.float32),
+        omega_init=np.zeros((P, 5, 2), np.float32),
+        basis=basis, n_poly=4,
+        pair_indices=np.arange(2 * P).reshape(P, 2),
+        valid=np.ones(P, bool), pair_labels=[["a", "b"]] * P,
+        representatives=[],
+    )
+    ckpt = str(tmp_path / "opt.npz")
+    cfg = GeodesicConfig(steps=15, batch_size=4,
+                         energy=EnergyConfig(num_t=48, mode="single"))
+    full = optimize_spline_batch(params, art, cfg=cfg, checkpoint_path=ckpt,
+                                 log_every_chunk=False)
+
+    # forge a legacy (pre-stamp) checkpoint: junk results, NO stamp keys
+    loaded = load_spline_batch(ckpt)
+    meta = {k: v for k, v in loaded.metadata.items()
+            if k not in ("steps", "energy_mode", "num_t", "mc_samples",
+                         "recipe")}
+    forged = dataclasses.replace(
+        loaded,
+        omega_optimized=np.full_like(loaded.omega_optimized, 7.0),
+        geodesic_length=np.full_like(loaded.geodesic_length, 99.0),
+        metadata=meta)
+    save_spline_batch(forged, ckpt)
+
+    res = optimize_spline_batch(params, art, cfg=cfg, checkpoint_path=ckpt,
+                                log_every_chunk=False)
+    err = capsys.readouterr().err
+    assert "cannot be validated" in err
+    # the junk was NOT resumed: results equal the clean full run
+    np.testing.assert_allclose(res.geodesic_length, full.geodesic_length,
+                               rtol=1e-6)

@@ -375,6 +375,11 @@ def cmd_plot(args):
     from vae_latent_geometry_tpu.io.artifacts import load_spline_batch
     from vae_latent_geometry_tpu.viz import plotting
 
+    if args.kind in ("density", "splines", "illustration") \
+            and not args.splines:
+        raise SystemExit(
+            f"plot {args.kind} requires --splines <spline-batch artifact> "
+            "(the curves to draw)")
     data = _load_data(args)
     params = _load_model(args.model)
     latents = _encode(params, data.x)

@@ -34,10 +34,10 @@ except Exception:  # pragma: no cover
 
 from vae_latent_geometry_tpu.ops.energy_pallas import (
     PRECISIONS,
+    _backprop_chain,
     _cast_ws,
     _compiler_params,
     _first_layer,
-    _mp_dot,
     _prep_ws_m,
     _gamma_planes,
     _gamma_planes_padded,
@@ -247,7 +247,13 @@ def _bwd_kernel_rng(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
-    wp = [_prep_ws_m(ws, m, dtype) for m in range(M)]
+    # slot 0 repurposed with f32 W1 rows for _backprop_chain's dgamma
+    # contraction (same convention as energy_pallas._stats_bwd_kernel)
+    wp = []
+    for m in range(M):
+        wm = _prep_ws_m(ws, m, dtype)
+        wm[0] = [ws[0][m, d].astype(jnp.float32) for d in range(D)]
+        wp.append(wm)
     kmax_row = kmax_ref[:][None, :, :]
     n_chunks = T // Tc
     ct = ct_ref[0, :]
@@ -312,16 +318,10 @@ def _bwd_kernel_rng(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
             h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
             _, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
                                    wpairs=wp[m])
-            dh = dx.reshape(Tc * B, X)
-            chain_prec = "bfloat16" if dtype in ("f32x3", "f32x2") else dtype
-            for i in range(n_layers - 1, 0, -1):
-                dh = _mp_dot(dh, wp[m][i], chain_prec, transpose=True)
-                act = acts[i - 2] if i >= 2 else h1
-                dh = dh * (act > 0.0)
-            dh3 = dh.reshape(Tc, B, ws[0].shape[-1])
-            for d in range(D):
-                w1d = ws[0][m, d].astype(jnp.float32)
-                dgs[d] = dgs[d] + jnp.sum(dh3 * w1d[None, None, :], axis=-1)
+            # shared cotangent chain (single source of the rung policy:
+            # single-pass under the reduced rungs — docs/NUMERICS.md)
+            _backprop_chain(dx, h1, acts, ws, wp[m], dtype, Tc, B,
+                            n_layers, dgs)
         for d in range(D):
             dg_refs[d][pl.ds(start, Tc), :] = dgs[d]
         for s in range(S):
@@ -531,7 +531,13 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
-    wp = [_prep_ws_m(ws, m, dtype) for m in range(M)]
+    # slot 0 repurposed with f32 W1 rows for _backprop_chain's dgamma
+    # contraction (same convention as energy_pallas._stats_bwd_kernel)
+    wp = []
+    for m in range(M):
+        wm = _prep_ws_m(ws, m, dtype)
+        wm[0] = [ws[0][m, d].astype(jnp.float32) for d in range(D)]
+        wp.append(wm)
     n_chunks = T // Tc
     ct = ct_ref[0, :]
 
@@ -595,20 +601,10 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
             h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
             _, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
                                    wpairs=wp[m])
-            dh = dx.reshape(Tc * B, X)
-            # cotangent chain: dh is difference-valued, so bf16 rounding is
-            # RELATIVE to the gradient itself (not to |x|) — run the chain
-            # single-pass under the reduced rungs; only the activation
-            # recompute above needs the split passes (docs/NUMERICS.md)
-            chain_prec = "bfloat16" if dtype in ("f32x3", "f32x2") else dtype
-            for i in range(n_layers - 1, 0, -1):
-                dh = _mp_dot(dh, wp[m][i], chain_prec, transpose=True)
-                act = acts[i - 2] if i >= 2 else h1
-                dh = dh * (act > 0.0)
-            dh3 = dh.reshape(Tc, B, ws[0].shape[-1])
-            for d in range(D):
-                w1d = ws[0][m, d].astype(jnp.float32)
-                dgs[d] = dgs[d] + jnp.sum(dh3 * w1d[None, None, :], axis=-1)
+            # shared cotangent chain (single source of the rung policy:
+            # single-pass under the reduced rungs — docs/NUMERICS.md)
+            _backprop_chain(dx, h1, acts, ws, wp[m], dtype, Tc, B,
+                            n_layers, dgs)
         for d in range(D):
             dg_refs[d][pl.ds(start, Tc), :] = dgs[d]
         return 0

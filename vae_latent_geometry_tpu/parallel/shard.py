@@ -57,6 +57,17 @@ def sharded_optimize_splines(
     they run under ``shard_map`` over 'dp' with the decoder weights
     replicated per device (~1 MB — exactly the kernel's design point).
     """
+    if cfg.early_stop:
+        # the while-loop early-stopping optimizer is single-device; running
+        # the fixed-step scan here instead would silently change the
+        # returned omega/energy semantics (no best-restore, no convergence
+        # exit) — refuse at THIS public entry, not only in the pipeline
+        # wrapper above it
+        raise ValueError(
+            "early_stop is not supported on a sharded (mesh) run: the "
+            "while-loop optimizer is single-device — drop early_stop "
+            "(fixed steps and the phase_plan recipes shard fine) or run "
+            "without a mesh")
     if key is None:
         key = jax.random.PRNGKey(0)
     dp = mesh.shape["dp"]

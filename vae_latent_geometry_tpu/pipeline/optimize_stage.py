@@ -149,13 +149,29 @@ def optimize_spline_batch(
                  "recipe": json.dumps(dataclasses.asdict(cfg),
                                       sort_keys=True, default=str)}
 
+    # Policy note (deliberate asymmetry with pipeline/train._check_resume_
+    # stamp, which RAISES on a foreign stamp): a training checkpoint is the
+    # run's trajectory — resuming a foreign one corrupts the result, so it
+    # must refuse.  This checkpoint is a pure CACHE of per-chunk results of
+    # the same output artifact — discarding it and recomputing is always
+    # correct, so a foreign or unvalidatable checkpoint is loudly ignored
+    # rather than fatal (self-healing for long unattended runs).
     prev = None
     if checkpoint_path and os.path.exists(checkpoint_path):
         loaded = load_spline_batch(checkpoint_path)
         prev_stamp = {k: loaded.metadata.get(k) for k in cfg_stamp
                       if k in loaded.metadata}
-        if prev_stamp and any(prev_stamp[k] != cfg_stamp[k]
-                              for k in prev_stamp):
+        missing = [k for k in cfg_stamp if k not in loaded.metadata]
+        if missing:
+            # a partial/absent stamp cannot be validated against this run's
+            # config — resuming it could silently mix another recipe's
+            # results into this artifact (the exact mixing the stamp
+            # exists to prevent), so recompute instead
+            print(f"[resume] checkpoint at {checkpoint_path} carries no or "
+                  f"only a partial config stamp (missing {missing}) and "
+                  "cannot be validated against this run's config — "
+                  "ignoring it and starting fresh", file=sys.stderr)
+        elif any(prev_stamp[k] != cfg_stamp[k] for k in prev_stamp):
             print(f"[resume] checkpoint at {checkpoint_path} was produced "
                   f"by a different config ({prev_stamp} vs {cfg_stamp}) — "
                   "ignoring it and starting fresh", file=sys.stderr)
