@@ -378,3 +378,26 @@ def test_sharded_optimize_refuses_early_stop_directly(mesh8, ensemble, rng):
     with pytest.raises(ValueError, match="not supported on a sharded"):
         sharded_optimize_splines(ensemble, jnp.zeros((B, 5, 2)), a, b,
                                  basis, cfg, mesh8)
+
+
+def test_cov_analysis_rides_the_mesh(mesh8, rng):
+    """cov_analysis(mesh=...) shards each seed's (pair x count) batch over
+    'dp' and reproduces the unsharded CoV values (SURVEY §2.9: shard the
+    CoV grid)."""
+    from vae_latent_geometry_tpu.pipeline.evaluate import cov_analysis
+
+    mcfg = ModelConfig(input_dim=8, latent_dim=2, num_decoders=3,
+                       encoder_hidden=(16,), decoder_hidden=(16,),
+                       decoder_sigma=1.0)
+    models = [evae_init(jax.random.PRNGKey(s), mcfg) for s in (0, 1)]
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    pairs = [(0, 1), (2, 3), (4, 5)]
+    kw = dict(decoder_counts=(1, 2, 3), steps=12, num_t=32,
+              mode="expected", batch_size=4)
+    plain = cov_analysis(models, [0, 1], x, pairs, **kw)
+    shard = cov_analysis(models, [0, 1], x, pairs, mesh=mesh8, **kw)
+    np.testing.assert_allclose(shard.lengths, plain.lengths,
+                               rtol=1e-5, atol=1e-7)
+    for k in plain.avg_cov_geodesic:
+        assert shard.avg_cov_geodesic[k] == pytest.approx(
+            plain.avg_cov_geodesic[k], rel=1e-4, abs=1e-7)

@@ -348,11 +348,17 @@ def cmd_eval(args):
                     break
             else:
                 print(f"[warn] no checkpoint for seed {seed}; skipping")
+        mesh = None
+        if args.dp or args.ep > 1:
+            from vae_latent_geometry_tpu.parallel import make_mesh
+
+            mesh = make_mesh(dp=args.dp, ep=args.ep)
+            print(f"[info] mesh {dict(mesh.shape)}")
         res = cov_analysis(models, seeds, data.x, pairs,
                            decoder_counts=list(range(1, 11)),
                            steps=args.steps, num_t=args.num_t,
                            mode=args.energy_mode,
-                           batch_size=args.batch_size)
+                           batch_size=args.batch_size, mesh=mesh)
         out = plot_dir / f"cov_values_alldec_{args.pair_count}.json"
         res.save(out)
         print(f"[ok] wrote {out}")
@@ -590,6 +596,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--energy-mode", default="mc",
                    choices=["mc", "mc_scan", "mc_fused", "expected"])
     e.add_argument("--batch-size", type=int, default=None)
+    e.add_argument("--dp", type=int, default=None,
+                   help="data-parallel mesh size for the CoV optimizations "
+                        "(default: no mesh)")
+    e.add_argument("--ep", type=int, default=1,
+                   help="expert(ensemble)-parallel mesh size")
     e.set_defaults(fn=cmd_eval)
 
     pl_ = sub.add_parser("plot", help="latent-space visualizations")

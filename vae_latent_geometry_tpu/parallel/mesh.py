@@ -39,6 +39,12 @@ def make_mesh(dp: Optional[int] = None, ep: int = 1,
         if n % ep != 0:
             raise ValueError(f"{n} devices not divisible by ep={ep}")
         dp = n // ep
+    if dp * ep > n:
+        raise ValueError(
+            f"mesh dp={dp} x ep={ep} needs {dp * ep} devices but only {n} "
+            f"are visible ({devices[0].platform}); for CPU testing set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N before "
+            "backend init")
     if dp * ep != n:
         devices = devices[: dp * ep]
     try:

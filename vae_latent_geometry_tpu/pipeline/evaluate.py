@@ -128,12 +128,18 @@ def cov_analysis(
     lr: float = 1e-3,
     key=None,
     batch_size: Optional[int] = None,
+    mesh=None,
 ) -> CovResult:
     """Cross-seed stability of geodesic lengths vs ensemble size.
 
     One batched optimization per seed: B = n_pairs * n_counts splines with a
     per-spline ``num_active`` decoder count, straight-line init (omega = 0,
     reference ``src/eval.py:109``).
+
+    mesh: optional ('dp','ep') mesh — each seed's (pair x count) batch
+    shards over 'dp' via ``sharded_optimize_splines`` (SURVEY §2.9's plan
+    of sharding the CoV grid); results equal the unsharded run (pairs never
+    communicate).
     """
     import jax
 
@@ -191,11 +197,20 @@ def cov_analysis(
             # start=1000 == seed s+1's first chunk), reusing the exact MC
             # decoder-draw stream between seeds — which correlates the very
             # cross-seed noise CoV measures
-            res = optimize_splines(
-                params.decoders, omega0[idx], a[idx], b[idx], basis, cfg,
-                key=jax.random.fold_in(jax.random.fold_in(key, s), start),
-                num_active=num_active[idx],
-            )
+            chunk_key = jax.random.fold_in(jax.random.fold_in(key, s), start)
+            if mesh is not None:
+                from vae_latent_geometry_tpu.parallel import (
+                    sharded_optimize_splines,
+                )
+
+                res = sharded_optimize_splines(
+                    params.decoders, omega0[idx], a[idx], b[idx], basis,
+                    cfg, mesh, key=chunk_key, num_active=num_active[idx])
+            else:
+                res = optimize_splines(
+                    params.decoders, omega0[idx], a[idx], b[idx], basis,
+                    cfg, key=chunk_key, num_active=num_active[idx],
+                )
             outs.append(np.asarray(res.lengths)[:n_sl])
         lengths[s] = np.concatenate(outs).reshape(P, K)
 
