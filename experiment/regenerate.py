@@ -413,7 +413,10 @@ def stage_train():
         "wall_clock_seconds": round(wall, 1),
         "final_val_loss": float(np.asarray(out.val_losses)[-1]),
         "note": "numerics-correct rerun; package-global highest matmul "
-                "precision applies to training too (docs/NUMERICS.md)",
+                "precision applies to training too (docs/NUMERICS.md). "
+                "Wall clock includes block compiles, so it depends on the "
+                "persistent jit-cache state: ~39.5 s cold, ~18 s with the "
+                "block program cached",
     })
     print(f"[train] 600 epochs in {wall:.1f}s", flush=True)
 
