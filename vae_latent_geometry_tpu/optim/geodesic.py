@@ -363,6 +363,12 @@ def optimize_splines(decoders, omega0, a, b, basis, cfg: GeodesicConfig,
     omega0:   (B, K, D) initial spline params;  a, b: (B, D) endpoints.
     num_active: optional (B,) int — per-spline active-decoder count for the
               ensemble energy modes (see ``energy.energy_mc``).
+
+    Returned energies are re-evaluated at the FINAL omega (exact float32,
+    full num_t).  Small documented delta vs the reference, which records
+    the last in-loop energy — evaluated one Adam step BEFORE its final
+    omega (``src/optimize.py:153-168``, ``src/eval.py:119-127``): ours is
+    the energy of the curve actually returned.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
