@@ -625,6 +625,85 @@ def stage_full133_mc_turbo_f32x2():
              "timing excludes one-time tunnel warmup and first compiles")
 
 
+def stage_ckpt_overhead():
+    """Measure the per-chunk async-checkpoint overhead at FULL 133x133
+    scale (round-2 verdict item 6's acceptance bar: <2% of optimize wall
+    clock).  Same prebuilt init artifact, same turbo recipe, one optimize
+    run WITHOUT checkpointing and one WITH the async per-chunk writer
+    persisting the full 8,778-pair artifact after every chunk."""
+    import tempfile
+
+    from vae_latent_geometry_tpu.cli import TURBO_PHASES
+    from vae_latent_geometry_tpu.config import (
+        EnergyConfig,
+        GeodesicConfig,
+        InitConfig,
+    )
+    from vae_latent_geometry_tpu.data.tasic import load_tasic
+    from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
+    from vae_latent_geometry_tpu.pipeline.init_splines import initialize_splines
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+    from vae_latent_geometry_tpu.pipeline.select_pairs import (
+        make_pairs,
+        select_representatives,
+    )
+    from vae_latent_geometry_tpu.models import evae as evae_lib
+    import jax
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.io.artifacts import SplineBatchArtifact
+
+    params = load_evae_checkpoint(f"{REF}/experiment/model_seed12.pt")
+    data = load_tasic()
+    latents = np.asarray(jax.jit(
+        lambda p, x: evae_lib.encode(p, x)[0])(params, jnp.asarray(data.x)))
+    reps = select_representatives(latents, data.labels, max_labels=133)
+    pairs = make_pairs(reps)
+    init = initialize_splines(latents, pairs, decoders=params.decoders,
+                              cfg=InitConfig(use_entropy=False))
+    label_of = {r["index"]: r["label"] for r in reps}
+    art = SplineBatchArtifact(
+        a=init.a, b=init.b, omega_init=init.omega, basis=init.basis,
+        n_poly=init.n_poly, pair_indices=init.pair_indices, valid=init.valid,
+        pair_labels=[[label_of.get(int(i), "?"), label_of.get(int(j), "?")]
+                     for i, j in init.pair_indices],
+        representatives=reps,
+        metadata={"init_type": init.init_type, "pair_count": 133})
+    cfg = GeodesicConfig(steps=1200, lr=3e-3, lr_schedule="cosine",
+                         batch_size=200, phase_plan=TURBO_PHASES,
+                         energy=EnergyConfig(num_t=2000,
+                                             mode="expected_fused",
+                                             kernel_precision=BULK_PREC))
+
+    def run(ckpt):
+        t0 = time.perf_counter()
+        optimize_spline_batch(params, art, cfg=cfg, checkpoint_path=ckpt,
+                              log_every_chunk=False)
+        return time.perf_counter() - t0
+
+    run(None)  # warmup: compiles paid outside both timed runs
+    wall_plain = run(None)
+    with tempfile.TemporaryDirectory() as td:
+        wall_ckpt = run(os.path.join(td, "opt_ckpt.npz"))
+    overhead = (wall_ckpt - wall_plain) / wall_plain
+    _write("ckpt_overhead.json", {
+        "workload": "full 8778-pair turbo optimize, per-chunk async "
+                    "checkpointing of the FULL artifact vs none, single "
+                    "v5e, warm compile cache",
+        "wall_clock_no_checkpoint_s": round(wall_plain, 1),
+        "wall_clock_with_checkpoint_s": round(wall_ckpt, 1),
+        "overhead_fraction": round(overhead, 4),
+        "note": "async latest-wins writer (pipeline/optimize_stage."
+                "_AsyncCheckpointer): serialization off the critical path; "
+                "run-to-run wall-clock noise on this rig is a few percent, "
+                "so small negative/positive values mean 'below noise'",
+    })
+    print(f"[ckpt-overhead] plain {wall_plain:.1f}s  ckpt {wall_ckpt:.1f}s  "
+          f"overhead {overhead:+.2%}", flush=True)
+
+
 STAGES = {
     "golden_a": stage_golden_a,
     "golden_b": stage_golden_b,
@@ -641,6 +720,7 @@ STAGES = {
     "cov": stage_cov,
     "train": stage_train,
     "train_multiseed": stage_train_multiseed,
+    "ckpt_overhead": stage_ckpt_overhead,
 }
 
 
