@@ -210,3 +210,20 @@ def test_turbo_flag_wires_phase_plan_through_cmd_optimize(workdir,
     assert '"phase_plan": [[7, 16, "cosine", 0.003]' in art.metadata["recipe"]
     # invalid pairs (unreachable Dijkstra inits) are NaN-masked by design
     assert np.isfinite(art.geodesic_length[art.valid]).all()
+
+
+def test_cli_cov_with_mesh(workdir):
+    """eval --mode cov --dp runs the CoV grid through the sharded optimizer
+    and produces the same JSON artifact schema."""
+    import json
+
+    _ensure_trained(workdir)
+    dd = str(workdir / "data")
+    main(["eval", "--mode", "cov", "--data-dir", dd, "--seeds", "5",
+          "--pair-count", "4",
+          "--pairfile", "experiment/pairs/selected_pairs_4.json",
+          "--steps", "5", "--num-t", "32", "--energy-mode", "expected",
+          "--dp", "4"])
+    cov_json = workdir / "experiment" / "plots" / "cov_values_alldec_4.json"
+    vals = json.loads(cov_json.read_text())
+    assert all(np.isfinite(v) for v in vals["avg_cov_geodesic"].values())
