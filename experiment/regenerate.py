@@ -236,7 +236,6 @@ def stage_dscale():
     from vae_latent_geometry_tpu.models import evae as evae_lib
     from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
     from vae_latent_geometry_tpu.pipeline.full_run import run_distance_pipeline
-    from vae_latent_geometry_tpu.viz import plotting
 
     ckpt = f"{REF}/experiment_dscale_0.1/model_seed12.pt"
     params = load_evae_checkpoint(ckpt)
