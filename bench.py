@@ -150,7 +150,7 @@ def numerics_check(decoders) -> dict:
     except Exception as ex:  # pragma: no cover
         out["fused_expected"] = f"failed: {type(ex).__name__}"
     try:
-        from vae_latent_geometry_tpu.ops.energy_pallas_t import (
+        from vae_latent_geometry_tpu.ops._research.energy_pallas_t import (
             energy_expected_fused_t,
         )
 

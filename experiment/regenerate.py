@@ -717,10 +717,15 @@ def stage_dp_slice():
     gather.
 
     The slice is shard 0 of the strided 8-way split (1,098 of 8,778
-    pairs -> 6 padded chunks of 200, exactly the chunk stream a dp=8 run
-    hands each device).  Host-side stages (encode, select, Dijkstra init)
-    are measured separately over the FULL workload: on a pod they run
-    once on the host and are amortized across chips."""
+    pairs -> 6 padded chunks of 200).  NOTE the projection's configuration
+    assumption (recorded in the JSON): a dp=8 pod run must scale the GLOBAL
+    batch_size to 200*dp=1600 so each device still sees 200-pair chunks —
+    with the default batch_size=200, optimize_spline_batch chunks the full
+    pair set by 200 and shards each chunk over dp, handing every device 44
+    chunks of 25 pairs (more dispatch boundaries, smaller per-device
+    batches), which this slice does NOT model.  Host-side stages (encode,
+    select, Dijkstra init) are measured separately over the FULL workload:
+    on a pod they run once on the host and are amortized across chips."""
     import jax
     import jax.numpy as jnp
 
@@ -772,9 +777,12 @@ def stage_dp_slice():
         metadata={"init_type": init.init_type, "pair_count": 133})
 
     def run(cfg):
+        # no data= here: passing it would re-encode the full dataset inside
+        # every timed run while host["encode"] is ALSO added in projected()
+        # (double count); the projection carries the encode cost once on the
+        # host side, where a pod run computes the euclidean distances too
         t0 = time.perf_counter()
-        optimize_spline_batch(params, art, data=data.x, cfg=cfg,
-                              log_every_chunk=False)
+        optimize_spline_batch(params, art, cfg=cfg, log_every_chunk=False)
         return round(time.perf_counter() - t0, 1)
 
     turbo_cfg = GeodesicConfig(
@@ -798,18 +806,21 @@ def stage_dp_slice():
 
     slices = {}
     # first invocation loads cached executables (or compiles); the second
-    # is the steady-state number a pod run would see per chunk stream
-    for tag, cfg, twice in (
-            ("turbo_expected_f32x2", turbo_cfg, True),
-            ("reference_fixed_1000step", fixed_cfg, True),
-            ("mc_turbo_f32x2", mc_turbo_cfg, True),
-            ("mc_reference_fixed_f32x3", mc_fixed_cfg, False)):
+    # is the steady-state number a pod run would see per chunk stream.
+    # Every config runs twice: projecting one config from its first
+    # invocation while the others use steady state would silently mix
+    # compile time into the cross-config comparison.
+    for tag, cfg in (
+            ("turbo_expected_f32x2", turbo_cfg),
+            ("reference_fixed_1000step", fixed_cfg),
+            ("mc_turbo_f32x2", mc_turbo_cfg),
+            ("mc_reference_fixed_f32x3", mc_fixed_cfg)):
         first = run(cfg)
-        steady = run(cfg) if twice else None
+        steady = run(cfg)
         slices[tag] = {"first_invocation_s": first,
                        "steady_state_s": steady}
-        print(f"[dp-slice {tag}] first {first}s"
-              + (f"  steady {steady}s" if steady else ""), flush=True)
+        print(f"[dp-slice {tag}] first {first}s  steady {steady}s",
+              flush=True)
 
     def projected(tag):
         s = slices[tag]
@@ -820,8 +831,17 @@ def stage_dp_slice():
     _write("dp_slice_timing.json", {
         "workload": "shard 0 of the strided dp=8 split of the full 133x133 "
                     "workload: 1098 of 8778 pairs, 10 decoders, single v5e "
-                    "chip; 6 padded chunks of 200 — exactly the chunk "
-                    "stream a dp=8 pod run hands each device",
+                    "chip; 6 padded chunks of 200",
+        "assumed_pod_batch_size": 1600,
+        "configuration_assumption": "the projection assumes the pod run "
+                    "scales the global batch_size to 200*dp=1600 so each "
+                    "device sees 200-pair chunks like this slice; at the "
+                    "default batch_size=200 a dp=8 run would instead hand "
+                    "each device 44 chunks of 25 pairs (8x more dispatch "
+                    "boundaries) and land slower than projected",
+        "encode_cost_side": "host_side_once_per_pod_s.encode (the timed "
+                    "optimize runs do NOT pass data=, so encode is counted "
+                    "exactly once)",
         "why_this_measures_the_pod": "dp over pairs exchanges nothing "
                     "between chips during optimization (per-pair programs "
                     "are independent; sharded-path equality tested on the "

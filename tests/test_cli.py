@@ -227,3 +227,22 @@ def test_cli_cov_with_mesh(workdir):
     cov_json = workdir / "experiment" / "plots" / "cov_values_alldec_4.json"
     vals = json.loads(cov_json.read_text())
     assert all(np.isfinite(v) for v in vals["avg_cov_geodesic"].values())
+
+
+def test_cli_cov_expected_fused(workdir):
+    """eval --mode cov accepts the fused production estimator (and its
+    precision flag) — the fastest kernel must be reachable from the CLI CoV
+    path, not only from cov_analysis directly (round-3 verdict weak #5)."""
+    import json
+
+    _ensure_trained(workdir)
+    dd = str(workdir / "data")
+    main(["eval", "--mode", "cov", "--data-dir", dd, "--seeds", "5",
+          "--pair-count", "4",
+          "--pairfile", "experiment/pairs/selected_pairs_4.json",
+          "--steps", "5", "--num-t", "32",
+          "--energy-mode", "expected_fused",
+          "--kernel-precision", "float32"])
+    cov_json = workdir / "experiment" / "plots" / "cov_values_alldec_4.json"
+    vals = json.loads(cov_json.read_text())
+    assert all(np.isfinite(v) for v in vals["avg_cov_geodesic"].values())

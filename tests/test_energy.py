@@ -321,3 +321,103 @@ def test_jvp_ensemble_matches_expected_at_high_T(rng):
     e_exp = np.asarray(E.energy_expected(decs, gamma))
     e_jvp = np.asarray(E.energy_jvp_ensemble(decs, gamma, vel))
     np.testing.assert_allclose(e_jvp, e_exp, rtol=2e-2)
+
+
+def _curve_problem(rng, T, B=3, X=12, M=4, seed=2):
+    from vae_latent_geometry_tpu.geometry.spline import (
+        design_matrix_derivative,
+        eval_spline_velocity,
+    )
+    from vae_latent_geometry_tpu.models import nets
+    from vae_latent_geometry_tpu.models.evae import stack_decoders
+
+    basis, _ = nullspace_basis(4)
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, X, (24, 24))
+        for k in jax.random.split(jax.random.PRNGKey(seed), M)
+    ])
+    omega = jnp.asarray(rng.normal(size=(B, 5, 2)) * 0.3, jnp.float32)
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, T)
+    phi = design_matrix(t, jnp.asarray(basis), 4)
+    dphi = design_matrix_derivative(t, jnp.asarray(basis), 4)
+    gamma = eval_spline_design(omega, a, b, phi, t)
+    vel = eval_spline_velocity(omega, a, b, dphi)
+    return decs, gamma, vel
+
+
+def test_quadrature_transfer_identity(rng):
+    """target_num_t = T (r = 1) is a no-op for both transfer estimators, and
+    expected_rescaled at r = 1 IS energy_expected exactly (same terms)."""
+    decs, gamma, vel = _curve_problem(rng, T=64)
+    T = gamma.shape[0]
+    e0 = np.asarray(E.energy_jvp_ensemble(decs, gamma, vel))
+    e1 = np.asarray(E.energy_jvp_ensemble(decs, gamma, vel, target_num_t=T))
+    np.testing.assert_allclose(e1, e0, rtol=1e-6)
+    er = np.asarray(E.energy_expected_rescaled(decs, gamma, target_num_t=T))
+    ee = np.asarray(E.energy_expected(decs, gamma))
+    np.testing.assert_allclose(er, ee, rtol=1e-6)
+
+
+def test_quadrature_transfer_estimates_full_grid_energy(rng):
+    """The north-star lever: a 64-point JVP quadrature with
+    target_num_t=1024 estimates the 1024-point expected energy (the smooth
+    term scales prop. 1/T, the disagreement term prop. T — both integrals are
+    resolved on the coarse grid)."""
+    T_loc, T_tgt = 64, 1024
+    # the same curve must be sampled at both resolutions: re-seed a fresh
+    # generator per call so omega/a/b coincide
+    decs, gamma_c, vel_c = _curve_problem(np.random.default_rng(99), T=T_loc)
+    decs, gamma_f, _ = _curve_problem(np.random.default_rng(99), T=T_tgt)
+    e_true = np.asarray(E.energy_expected(decs, gamma_f))
+    e_jvp = np.asarray(E.energy_jvp_ensemble(decs, gamma_c, vel_c,
+                                             target_num_t=T_tgt))
+    e_resc = np.asarray(E.energy_expected_rescaled(decs, gamma_c,
+                                                   target_num_t=T_tgt))
+    np.testing.assert_allclose(e_jvp, e_true, rtol=3e-2)
+    np.testing.assert_allclose(e_resc, e_true, rtol=3e-2)
+
+
+def test_phase_plan_jvp_mode_and_final_energy_mode(rng):
+    """A phase_plan with a per-phase energy mode (coarse jvp_ensemble phase
+    + discrete polish) runs, reduces energy, and reports final energies in
+    the final_energy_mode's discrete units."""
+    import dataclasses
+
+    from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
+    from vae_latent_geometry_tpu.models import nets
+    from vae_latent_geometry_tpu.models.evae import stack_decoders
+    from vae_latent_geometry_tpu.optim.geodesic import optimize_splines
+
+    basis, _ = nullspace_basis(4)
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 12, (24, 24))
+        for k in jax.random.split(jax.random.PRNGKey(5), 4)
+    ])
+    B = 4
+    a = jnp.asarray(rng.normal(size=(B, 2)) * 2, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)) * 2, jnp.float32)
+    omega0 = jnp.zeros((B, 5, 2), jnp.float32)
+    cfg = GeodesicConfig(
+        steps=40,
+        phase_plan=((30, 32, "constant", 1e-2, "jvp_ensemble"),
+                    (10, 128, "constant", 1e-3)),
+        final_energy_mode="expected",
+        energy=EnergyConfig(num_t=128, mode="expected",
+                            target_num_t=128),
+    )
+    res = optimize_splines(decs, omega0, a, b, basis, cfg)
+    # reported energy must be the exact discrete expected energy at the
+    # final omega on the full grid
+    from vae_latent_geometry_tpu.geometry.spline import eval_spline_design
+
+    t = jnp.linspace(0.0, 1.0, 128)
+    phi = design_matrix(t, jnp.asarray(basis), 4)
+    gamma = eval_spline_design(res.omega, a, b, phi, t)
+    e_check = np.asarray(E.energy_expected(decs, gamma))
+    np.testing.assert_allclose(np.asarray(res.energy), e_check, rtol=1e-5)
+    # and the optimization must actually have improved on the straight line
+    gamma0 = eval_spline_design(omega0, a, b, phi, t)
+    e0 = np.asarray(E.energy_expected(decs, gamma0))
+    assert (np.asarray(res.energy) <= e0 + 1e-5).all()

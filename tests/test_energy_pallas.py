@@ -318,7 +318,7 @@ def test_transposed_kernel_matches_expected(rng):
     the XLA expected energy in forward and gradient, across chunk carries
     (multi T-chunk) and batch blocks (B > 256)."""
     from vae_latent_geometry_tpu.geometry import energy as E
-    from vae_latent_geometry_tpu.ops.energy_pallas_t import (
+    from vae_latent_geometry_tpu.ops._research.energy_pallas_t import (
         energy_expected_fused_t,
         fused_t_fits,
     )
@@ -350,7 +350,8 @@ def test_transposed_kernel_matches_expected(rng):
 def test_expected_fused_optimizes_three_layer_decoders(rng):
     """expected_fused mode optimizes 3-layer (two-hidden) decoders
     correctly via the regular fused kernel.  NOTE: the optimizer does NOT
-    dispatch the transposed kernel (ops/energy_pallas_t.py) — that layout
+    dispatch the transposed kernel (ops/_research/energy_pallas_t.py) — that
+    layout
     measured slower on hardware and is kept only as a documented negative
     result; this test covers the deeper-decoder shape through the live
     path."""

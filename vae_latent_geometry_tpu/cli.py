@@ -358,6 +358,7 @@ def cmd_eval(args):
                            decoder_counts=list(range(1, 11)),
                            steps=args.steps, num_t=args.num_t,
                            mode=args.energy_mode,
+                           kernel_precision=args.kernel_precision,
                            batch_size=args.batch_size, mesh=mesh)
         out = plot_dir / f"cov_values_alldec_{args.pair_count}.json"
         res.save(out)
@@ -594,7 +595,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--steps", type=int, default=300)
     e.add_argument("--num-t", type=int, default=2000)
     e.add_argument("--energy-mode", default="mc",
-                   choices=["mc", "mc_scan", "mc_fused", "expected"])
+                   choices=["mc", "mc_scan", "mc_fused", "mc_fused_bf16",
+                            "expected", "expected_fused",
+                            "expected_fused_bf16"])
+    e.add_argument("--kernel-precision", default="f32x3",
+                   choices=["float32", "f32x3", "f32x2"],
+                   help="MXU precision rung for the fused kernels' "
+                        "optimization steps (final energies always "
+                        "re-evaluate at exact float32)")
     e.add_argument("--batch-size", type=int, default=None)
     e.add_argument("--dp", type=int, default=None,
                    help="data-parallel mesh size for the CoV optimizations "

@@ -64,6 +64,13 @@ class EnergyConfig:
     # host-generated (S, T, B) index planes through HBM.  Automatically
     # ignored off-TPU (interpret-mode PRNG yields zero bits).
     mc_inkernel_rng: bool = True
+    # Quadrature-transfer target for the jvp modes (the north star's energy
+    # formulation): when set, ``jvp_ensemble`` / ``expected_rescaled``
+    # estimate the ``target_num_t``-point objective from the CURRENT
+    # (coarse) t-grid by rescaling the smooth (prop. 1/T) and disagreement
+    # (prop. T) terms — see geometry.energy.energy_jvp_ensemble.  None keeps
+    # same-T semantics.
+    target_num_t: Optional[int] = None
     # Name of a shard_map mesh axis the decoder-ensemble axis is sharded
     # over (expert parallelism).  When set, the fused expected-energy mode
     # computes per-shard sufficient statistics in the Pallas stats kernel
@@ -131,7 +138,15 @@ class GeodesicConfig:
     # fused-kernel divisibility rules (powers of two are safe): a value like
     # 1000 silently falls back to the ~10x-slower XLA path (warned at trace
     # time).
-    phase_plan: Optional[Tuple[Tuple[int, int, str, float], ...]] = None
+    # Entries may optionally carry a 5th element: the energy MODE for that
+    # phase (e.g. a coarse "jvp_ensemble" quadrature phase followed by a
+    # discrete "expected_fused" polish).  4-tuples keep ``energy.mode``.
+    phase_plan: Optional[Tuple[Tuple, ...]] = None
+    # Energy mode for the exact final re-evaluation (always float32, full
+    # ``energy.num_t``).  None = ``energy.mode``.  JVP-trajectory runs set
+    # this to "expected"/"expected_fused" so their reported energies stay in
+    # the framework's standard discrete units (comparable to goldens).
+    final_energy_mode: Optional[str] = None
     energy: EnergyConfig = field(default_factory=EnergyConfig)
     spline: SplineConfig = field(default_factory=SplineConfig)
     # Single-spline early stopping (reference optimize_energy.py:119-165).

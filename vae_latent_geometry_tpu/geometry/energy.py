@@ -28,6 +28,8 @@ never stores the (M_dec, T, B, hidden) activations.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -223,7 +225,8 @@ def energy_jvp(decoder_params, gamma, gamma_dot):
     return jnp.sum(sq * w[:, None], axis=0) * dt * dt
 
 
-def energy_jvp_ensemble(decoders, gamma, gamma_dot):
+def energy_jvp_ensemble(decoders, gamma, gamma_dot,
+                        target_num_t: Optional[int] = None):
     """Expected ensemble energy in the T->inf limit, split into a JVP
     quadrature term (mean over decoders) and a decoder-disagreement term.
 
@@ -232,6 +235,24 @@ def energy_jvp_ensemble(decoders, gamma, gamma_dot):
         + ||xbar_{i+1} - xbar_i||^2
     the last term -> JVP quadrature of the mean decoder, the first two are the
     O(1) ensemble variance that does not vanish with T.
+
+    ``target_num_t``: quadrature-transfer rescaling — the north-star lever
+    (BASELINE.json: "curve-energy functional evaluated via decoder JVPs").
+    The two terms of the T-point expected energy scale oppositely in T:
+        smooth       S(T) = sum_i ||xbar_{i+1} - xbar_i||^2
+                          ~ dt * Int ||J_xbar gdot||^2     (prop. to 1/T)
+        disagreement D(T) = sum_i (var_{i+1} + var_i)
+                          ~ 2 (T-1) * Int var              (prop. to T)
+    so an estimate of E(T_target) needs only enough points to resolve the two
+    INTEGRALS — not T_target points.  With r = (T_tgt - 1)/(T_loc - 1):
+        E(T_tgt) ~ (1/r) * jvp_term(T_loc) + r * D(T_loc).
+    The JVP form (exact metric at the sampled points) has no secant error, so
+    the local grid can be coarse where a first-difference estimator could
+    not.  ``None`` keeps the same-T semantics (r = 1): the drop-in smoother
+    sibling of :func:`energy_expected`.
+
+    Done-right version of the reference's dead exact-pullback energy,
+    ``src/old_/jacobian_smgs.py:1-30``.
     """
     decoded = _decode_ensemble(decoders, gamma)        # (M, T, B, X)
     xbar = jnp.mean(decoded, axis=0)
@@ -248,4 +269,35 @@ def energy_jvp_ensemble(decoders, gamma, gamma_dot):
     jvp_term = (
         jnp.sum(jnp.sum(tangents * tangents, axis=-1) * w[:, None], axis=0) * dt * dt
     )
-    return jvp_term + disagreement
+    if target_num_t is None:
+        return jvp_term + disagreement
+    r = (target_num_t - 1) / (T - 1)
+    return jvp_term / r + disagreement * r
+
+
+def energy_expected_rescaled(decoders, gamma, target_num_t: int,
+                             num_active=None):
+    """Control arm for the quadrature-transfer study: the same
+    smooth/disagreement T-rescaling as :func:`energy_jvp_ensemble`'s
+    ``target_num_t``, but with the smooth term estimated by first differences
+    (secants) on the local grid instead of exact JVPs.  Isolates how much of
+    the transfer quality comes from the exact metric vs from the rescaling
+    alone (experiment/jvp_quadrature_study.json)."""
+    decoded = _decode_ensemble(decoders, gamma)        # (M, T, B, X)
+    m_dec, T, B, X = decoded.shape
+    if num_active is None:
+        xbar = jnp.mean(decoded, axis=0)
+        dev = decoded - xbar[None]
+        var = jnp.mean(jnp.sum(dev * dev, axis=-1), axis=0)          # (T, B)
+    else:
+        k = jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
+        mask = (jnp.arange(m_dec)[:, None] < k[None, :]).astype(decoded.dtype)
+        w = mask / k.astype(decoded.dtype)[None, :]
+        xbar = jnp.einsum("mb,mtbx->tbx", w, decoded)
+        dev = decoded - xbar[None]
+        var = jnp.einsum("mb,mtb->tb", w, jnp.sum(dev * dev, axis=-1))
+    step = xbar[1:] - xbar[:-1]
+    smooth = jnp.sum(jnp.sum(step * step, axis=-1), axis=0)
+    disagreement = jnp.sum(var[1:] + var[:-1], axis=0)
+    r = (target_num_t - 1) / (T - 1)
+    return smooth / r + disagreement * r

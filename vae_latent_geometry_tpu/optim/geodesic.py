@@ -62,7 +62,8 @@ class GeodesicResult(NamedTuple):
 
 def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
                num_active=None, kernel_precision: str = "f32x3",
-               ep_axis=None, mc_inkernel_rng: bool = True):
+               ep_axis=None, mc_inkernel_rng: bool = True,
+               target_num_t=None):
     if mode == "single":
         return energy_lib.energy_single(decoders, gamma)
     if mode in ("single_fused", "single_fused_bf16"):
@@ -169,7 +170,8 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
             return energy_lib.energy_expected(decoders, gamma, num_active)
         precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
         # NOTE a transposed-layout variant (features on sublanes, points on
-        # lanes; ops/energy_pallas_t.py) removes the X=50->128 lane-padding
+        # lanes; ops/_research/energy_pallas_t.py) removes the X=50->128
+        # lane-padding
         # waste on paper (0.76x the MXU work) but measured ~30% SLOWER on a
         # v5e: the weights-stationary MXU wants the long dimension streaming
         # through rows, not lanes.  Kept as a validated negative result; the
@@ -182,7 +184,30 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
     if mode == "jvp":
         return energy_lib.energy_jvp(decoders, gamma, gamma_dot)
     if mode == "jvp_ensemble":
-        return energy_lib.energy_jvp_ensemble(decoders, gamma, gamma_dot)
+        return energy_lib.energy_jvp_ensemble(decoders, gamma, gamma_dot,
+                                              target_num_t)
+    if mode in ("jvp_fused", "jvp_fused_bf16"):
+        from vae_latent_geometry_tpu.ops.energy_jvp_pallas import (
+            energy_jvp_fused,
+            jvp_fused_fits,
+        )
+
+        T, B, D = gamma.shape
+        m_dec = jax.tree_util.tree_leaves(decoders)[0].shape[0]
+        X = decoders["layers"][-1]["w"].shape[-1]
+        if not jvp_fused_fits(T, B, D, X, m_dec):
+            _warn_fallback(mode, T, B, D, X, m_dec)
+            return energy_lib.energy_jvp_ensemble(decoders, gamma, gamma_dot,
+                                                  target_num_t)
+        precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
+        return energy_jvp_fused(decoders, gamma, gamma_dot, precision,
+                                target_num_t)
+    if mode == "expected_rescaled":
+        if target_num_t is None:
+            raise ValueError("energy mode 'expected_rescaled' requires "
+                             "energy.target_num_t")
+        return energy_lib.energy_expected_rescaled(decoders, gamma,
+                                                   target_num_t, num_active)
     raise ValueError(f"unknown energy mode {mode!r}")
 
 
@@ -208,7 +233,8 @@ def make_loss_fn(decoders, basis, cfg: GeodesicConfig) -> Callable:
                      if needs_vel else None)
         e = _energy_fn(e_cfg.mode, decoders, gamma, gamma_dot, key,
                        e_cfg.mc_samples, num_active, e_cfg.kernel_precision,
-                       e_cfg.ep_axis, e_cfg.mc_inkernel_rng)
+                       e_cfg.ep_axis, e_cfg.mc_inkernel_rng,
+                       e_cfg.target_num_t)
         # endpoint penalty (reference src/optimize.py:158-160): exactly zero
         # in exact arithmetic because the basis enforces offset(1)=0, kept for
         # faithful gradients under float32.
@@ -257,21 +283,26 @@ def _phase_cfgs(cfg: GeodesicConfig) -> list:
         phases = []
         for i, entry in enumerate(cfg.phase_plan):
             try:
-                s, T, sched, lr = entry
+                s, T, sched, lr, *rest = entry
+                if len(rest) > 1:
+                    raise ValueError
+                mode = rest[0] if rest else cfg.energy.mode
             except (TypeError, ValueError):
                 raise ValueError(
                     f"phase_plan[{i}] must be a (steps, num_t, lr_schedule, "
-                    f"lr) tuple, got {entry!r}") from None
+                    f"lr[, energy_mode]) tuple, got {entry!r}") from None
             if int(s) < 1 or int(T) < 2 or float(lr) <= 0.0:
                 raise ValueError(
                     f"phase_plan[{i}]={entry!r}: need steps >= 1, "
                     "num_t >= 2, lr > 0")
             # unknown lr_schedule values fail in _make_opt with the list of
-            # valid names, same as the top-level flag
+            # valid names, same as the top-level flag; unknown modes fail in
+            # _energy_fn likewise
             phases.append(dataclasses.replace(
                 cfg, steps=int(s), lr=float(lr), lr_schedule=sched,
                 traj_num_t=None, polish_steps=0, phase_plan=None,
-                energy=dataclasses.replace(cfg.energy, num_t=int(T))))
+                energy=dataclasses.replace(cfg.energy, num_t=int(T),
+                                           mode=str(mode))))
         return phases
     coarse = _traj_cfg(cfg)
     if cfg.traj_num_t is None or cfg.polish_steps <= 0:
@@ -280,6 +311,21 @@ def _phase_cfgs(cfg: GeodesicConfig) -> list:
         cfg, steps=cfg.polish_steps, lr=cfg.polish_lr,
         lr_schedule="constant", traj_num_t=None)
     return [coarse, polish]
+
+
+def _exact_cfg(cfg: GeodesicConfig) -> GeodesicConfig:
+    """Config for the exact final re-evaluation: always float32, full
+    ``energy.num_t``, same-T semantics (no quadrature-transfer rescaling),
+    and ``final_energy_mode`` when set — reduced precision, coarse grids and
+    JVP trajectory modes only ever steer the optimization, never the
+    reported numbers."""
+    return dataclasses.replace(
+        cfg, energy=dataclasses.replace(
+            cfg.energy,
+            mode=(cfg.final_energy_mode
+                  or cfg.energy.mode).removesuffix("_bf16"),
+            target_num_t=None,
+            kernel_precision="float32"))
 
 
 def _make_opt(cfg: GeodesicConfig):
@@ -342,12 +388,7 @@ def _optimize_scan(decoders, omega0, a, b, basis, key,
     # Always evaluated at exact "float32" kernel precision — reduced-precision
     # rungs (f32x3 / f32x2 / bf16) only steer the optimization trajectory,
     # never the reported numbers.
-    cfg_exact = dataclasses.replace(
-        cfg, energy=dataclasses.replace(
-            cfg.energy,
-            mode=cfg.energy.mode.removesuffix("_bf16"),
-            kernel_precision="float32"))
-    exact_loss = make_loss_fn(decoders, basis, cfg_exact)
+    exact_loss = make_loss_fn(decoders, basis, _exact_cfg(cfg))
     _, e_final = exact_loss(omega, a, b, jax.random.fold_in(key, cfg.steps),
                             num_active)
     return omega, e_final, hist
@@ -448,12 +489,7 @@ def _optimize_early_stop(decoders, omega0, a, b, basis, key, cfg: GeodesicConfig
     _, (_, _, best_omega, best_e, _) = jax.lax.while_loop(cond, body, state)
     # report exact energies at the restored best params (reduced kernel
     # precision only ever steers the trajectory, mirror of _optimize_scan)
-    cfg_exact = dataclasses.replace(
-        cfg, energy=dataclasses.replace(
-            cfg.energy,
-            mode=cfg.energy.mode.removesuffix("_bf16"),
-            kernel_precision="float32"))
-    exact_loss = make_loss_fn(decoders, basis, cfg_exact)
+    exact_loss = make_loss_fn(decoders, basis, _exact_cfg(cfg))
     _, best_e = exact_loss(best_omega, a, b, key, num_active)
     return best_omega, best_e
 

@@ -125,6 +125,7 @@ def cov_analysis(
     num_t: int = 2000,
     mc_samples: int = 2,
     mode: str = "mc",
+    kernel_precision: str = "f32x3",
     lr: float = 1e-3,
     key=None,
     batch_size: Optional[int] = None,
@@ -166,7 +167,8 @@ def cov_analysis(
     basis, _ = nullspace_basis(4)
     cfg = GeodesicConfig(
         steps=steps, lr=lr,
-        energy=EnergyConfig(num_t=num_t, mc_samples=mc_samples, mode=mode),
+        energy=EnergyConfig(num_t=num_t, mc_samples=mc_samples, mode=mode,
+                            kernel_precision=kernel_precision),
     )
 
     lengths = np.zeros((len(models), P, K))
