@@ -295,8 +295,11 @@ def cmd_optimize(args):
                f"spline_batch_opt_{args.init_type}_{args.pair_count}.npz")
     res = optimize_spline_batch(params, art, data=data, cfg=cfg,
                                 checkpoint_path=str(out), mesh=mesh)
-    save_spline_batch(res, str(out))
-    print(f"[ok] optimized {len(res)} splines -> {out}")
+    from vae_latent_geometry_tpu.parallel.multihost import is_primary
+
+    if is_primary():
+        save_spline_batch(res, str(out))
+        print(f"[ok] optimized {len(res)} splines -> {out}")
 
 
 def cmd_eval(args):
@@ -466,6 +469,19 @@ def cmd_bench(args):
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vae_latent_geometry_tpu")
+    # multi-host process-group bring-up (first-class; SURVEY §2.9 comm
+    # backend).  On a TPU pod, --multihost alone autodetects topology; on a
+    # generic cluster pass the coordinator/count/id triple (or set
+    # VLG_COORDINATOR / VLG_NUM_PROCESSES / VLG_PROCESS_ID).  Every process
+    # runs the same command; artifact writes happen on process 0 only.
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed before running (TPU pod "
+                        "autodetect, or --coordinator/--num-processes/"
+                        "--process-id)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multi-host)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add_common(sp):
@@ -648,6 +664,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.multihost or args.coordinator:
+        from vae_latent_geometry_tpu.parallel.multihost import init_multihost
+
+        pid, n = init_multihost(args.coordinator, args.num_processes,
+                                args.process_id)
+        print(f"[multihost] process {pid}/{n}, "
+              f"{__import__('jax').device_count()} global devices")
     args.fn(args)
 
 

@@ -31,6 +31,7 @@ from vae_latent_geometry_tpu.parallel.mesh import (
     pad_to_multiple,
     replicated,
 )
+from vae_latent_geometry_tpu.parallel.multihost import gather_global, put_global
 
 
 def _shard_decoders(decoders, mesh: Mesh):
@@ -41,7 +42,7 @@ def _shard_decoders(decoders, mesh: Mesh):
 
     def put(x):
         sh = spec if x.shape[0] % ep == 0 else replicated(mesh)
-        return jax.device_put(jnp.asarray(x), sh)
+        return put_global(x, sh)
 
     return jax.tree_util.tree_map(put, decoders)
 
@@ -79,12 +80,12 @@ def sharded_optimize_splines(
 
     fused = "fused" in cfg.energy.mode
     batch_sh = named_sharding(mesh, "dp")
-    omega0 = jax.device_put(jnp.asarray(omega0), batch_sh)
-    a = jax.device_put(jnp.asarray(a), batch_sh)
-    b = jax.device_put(jnp.asarray(b), batch_sh)
+    omega0 = put_global(omega0, batch_sh)
+    a = put_global(a, batch_sh)
+    b = put_global(b, batch_sh)
     if num_active is not None:
-        num_active = jax.device_put(jnp.asarray(num_active), batch_sh)
-    basis = jax.device_put(jnp.asarray(basis), replicated(mesh))
+        num_active = put_global(num_active, batch_sh)
+    basis = put_global(np.asarray(basis), replicated(mesh))
 
     if fused:
         import dataclasses as _dc
@@ -106,13 +107,12 @@ def sharded_optimize_splines(
                                                       ep_axis="ep"))
             dec_spec = P("ep")
             decoders = jax.tree_util.tree_map(
-                lambda x: jax.device_put(
-                    jnp.asarray(x), named_sharding(mesh, "ep")),
+                lambda x: put_global(x, named_sharding(mesh, "ep")),
                 decoders)
         else:
             dec_spec = P()
             decoders = jax.tree_util.tree_map(
-                lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)),
+                lambda x: put_global(x, replicated(mesh)),
                 decoders)
         dp_spec = P("dp")
         rep = P()
@@ -140,6 +140,17 @@ def sharded_optimize_splines(
             omega, e_final, _ = _optimize_scan(
                 decoders, omega0, a, b, basis, key, cfg, False, num_active
             )
+    if jax.process_count() > 1:
+        # multi-host: the outputs' dp shards span processes — eager slicing
+        # and device_get cannot touch non-addressable shards, so reassemble
+        # the logical arrays on every host (one all-gather over the process
+        # group), then trim the padding.  This trades the single-host
+        # enqueue-then-collect pipelining for correctness; per-chunk gathers
+        # of (B, K, D) + (B,) arrays are a few KB over DCN.
+        omega = jnp.asarray(gather_global(omega)[:n])
+        e_final = jnp.asarray(gather_global(e_final)[:n])
+        return GeodesicResult(omega=omega, energy=e_final,
+                              lengths=jnp.sqrt(e_final))
     # trim the dp padding ON DEVICE and return device arrays: np.asarray
     # here would force a host sync per call, serializing the multi-chunk
     # enqueue-then-collect pipeline in pipeline/optimize_stage.py (callers
@@ -171,11 +182,11 @@ def sharded_train_step(params, opt_state, key, batch, mesh: Mesh,
     all-reduce over dp and the ensemble gather for the per-step random
     decoder are inserted by GSPMD.
     """
-    batch = jax.device_put(jnp.asarray(batch), named_sharding(mesh, "dp"))
+    batch = put_global(batch, named_sharding(mesh, "dp"))
     dec_sharded = _shard_decoders(params.decoders, mesh)
     params = evae_lib.EVAEParams(
         encoder=jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)),
+            lambda x: put_global(x, replicated(mesh)),
             params.encoder),
         decoders=dec_sharded,
     )

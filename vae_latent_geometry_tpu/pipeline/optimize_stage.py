@@ -116,6 +116,14 @@ def optimize_spline_batch(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    from vae_latent_geometry_tpu.parallel.multihost import is_primary
+
+    # multi-host write discipline: every process computes the same chunks
+    # (the sharded programs span the global mesh), exactly one persists —
+    # concurrent writers to the same artifact path would race the
+    # temp+rename and interleave snapshots
+    primary = is_primary()
+    log_every_chunk = log_every_chunk and primary
     single = cfg.energy.mode in ("single", "single_fused",
                                  "single_fused_bf16", "jvp")
     if single:
@@ -157,7 +165,7 @@ def optimize_spline_batch(
     # correct, so a foreign or unvalidatable checkpoint is loudly ignored
     # rather than fatal (self-healing for long unattended runs).
     prev = None
-    if checkpoint_path and os.path.exists(checkpoint_path):
+    if checkpoint_path and primary and os.path.exists(checkpoint_path):
         loaded = load_spline_batch(checkpoint_path)
         prev_stamp = {k: loaded.metadata.get(k) for k in cfg_stamp
                       if k in loaded.metadata}
@@ -185,6 +193,19 @@ def optimize_spline_batch(
             done = np.isfinite(lengths) | ~np.asarray(art.valid)
             if log_every_chunk and done.any():
                 print(f"[resume] {done.sum()}/{P} splines already optimized")
+    if jax.process_count() > 1:
+        # the chunk schedule below drives COLLECTIVE programs: every process
+        # must submit the identical `pending` list or the group deadlocks.
+        # Only process 0 read the checkpoint (the others may not even share
+        # its filesystem) — broadcast its resume state to all.
+        from jax.experimental import multihost_utils
+
+        # np.array (copy) not asarray: broadcast_one_to_all returns
+        # read-only buffers, and the chunk loop writes into these in place
+        omega_opt, lengths, done = (
+            np.array(v) for v in multihost_utils.broadcast_one_to_all(
+                (omega_opt, lengths, done)))
+        done = done.astype(bool)
 
     eucl = None
     if data is not None and hasattr(params, "encoder"):
@@ -272,7 +293,7 @@ def optimize_spline_batch(
     submitted = {s: _submit(s) for s in pending}
 
     saver = None
-    if checkpoint_path:
+    if checkpoint_path and primary:
         def _save_snapshot(snap):
             om, ln = snap
             partial = dataclasses.replace(
@@ -336,6 +357,6 @@ def optimize_spline_batch(
         euclidean_distance=eucl,
         metadata={**art.metadata, **cfg_stamp},
     )
-    if checkpoint_path:
+    if checkpoint_path and primary:
         save_spline_batch(out, checkpoint_path)
     return out
