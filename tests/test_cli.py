@@ -246,3 +246,39 @@ def test_cli_cov_expected_fused(workdir):
     cov_json = workdir / "experiment" / "plots" / "cov_values_alldec_4.json"
     vals = json.loads(cov_json.read_text())
     assert all(np.isfinite(v) for v in vals["avg_cov_geodesic"].values())
+
+
+def test_cli_backstop_fixed_merges_per_pair_best(workdir, monkeypatch):
+    """optimize --turbo --backstop-fixed: the written artifact carries the
+    per-pair min of the ladder arm and the fixed-recipe arm, plus the
+    backstop bookkeeping in metadata."""
+    from vae_latent_geometry_tpu import cli as cli_mod
+    from vae_latent_geometry_tpu.io.artifacts import load_spline_batch
+
+    _ensure_trained(workdir)
+    dd = str(workdir / "data")
+    if not (workdir / "experiment" / "splines_init_model_seed5" /
+            "spline_batch_init_euclidean_4.npz").exists():
+        main(["init-splines", "--data-dir", dd,
+              "--model", "experiment/model_seed5.npz",
+              "--pairfile", "experiment/pairs/selected_pairs_4.json",
+              "--grid", "30"])
+    tiny = ((7, 16, "cosine", 3e-3), (3, 32, "constant", 1e-3))
+    monkeypatch.setattr(cli_mod, "TURBO_PHASES", tiny)
+    out = workdir / "backstop_out.npz"
+    main(["optimize", "--data-dir", dd,
+          "--model", "experiment/model_seed5.npz",
+          "--init-type", "euclidean", "--pair-count", "4",
+          "--batch-size", "4", "--num-t", "32", "--energy-mode", "expected",
+          "--steps", "9",  # fixed arm's 1000 steps are a CLI constant; the
+                           # primary ladder is the monkeypatched tiny one
+          "--turbo", "--backstop-fixed", "--output", str(out)])
+    merged = load_spline_batch(str(out))
+    p = load_spline_batch(str(workdir / "backstop_out.primary.npz"))
+    b = load_spline_batch(str(workdir / "backstop_out.backstop.npz"))
+    lm = np.asarray(merged.geodesic_length)
+    lp = np.asarray(p.geodesic_length)
+    lb = np.asarray(b.geodesic_length)
+    v = merged.valid & np.isfinite(lp) & np.isfinite(lb)
+    np.testing.assert_allclose(lm[v], np.minimum(lp, lb)[v], rtol=1e-7)
+    assert "backstop_selected" in merged.metadata

@@ -463,3 +463,114 @@ def test_early_stop_step_budget_is_exact(toy_problem):
         dec, omega0, a, b, basis_j, key, _small_cfg(steps=150, **kw), None,
         block=50)
     assert not np.allclose(np.asarray(e_150), np.asarray(e_50), rtol=1e-7)
+
+
+def _toy_artifact(toy_problem):
+    from vae_latent_geometry_tpu.io.artifacts import SplineBatchArtifact
+
+    _, a, b, basis, omega0 = toy_problem
+    return SplineBatchArtifact(
+        a=np.asarray(a), b=np.asarray(b), omega_init=np.asarray(omega0),
+        basis=np.asarray(basis), n_poly=4,
+        pair_indices=np.stack([np.arange(len(a)),
+                               np.arange(len(a)) + len(a)], 1),
+        valid=np.ones(len(a), bool),
+        pair_labels=[["x", "y"]] * len(a), representatives=[])
+
+
+def test_merge_spline_batches_takes_per_pair_best(toy_problem):
+    """min-merge semantics: shorter length wins per pair, finite beats NaN,
+    metadata records how many pairs the backstop arm won."""
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        merge_spline_batches,
+    )
+
+    art = _toy_artifact(toy_problem)
+    B = len(art.a)
+    l1 = np.array([1.0, 2.0, np.nan, 4.0])
+    l2 = np.array([1.5, 1.0, 3.0, np.nan])
+    om1 = np.full((B, art.basis.shape[1], 2), 1.0, np.float32)
+    om2 = np.full((B, art.basis.shape[1], 2), 2.0, np.float32)
+    r1 = dataclasses.replace(art, omega_optimized=om1, geodesic_length=l1)
+    r2 = dataclasses.replace(art, omega_optimized=om2, geodesic_length=l2)
+    m = merge_spline_batches(r1, r2)
+    np.testing.assert_array_equal(m.geodesic_length, [1.0, 1.0, 3.0, 4.0])
+    np.testing.assert_array_equal(
+        np.asarray(m.omega_optimized)[:, 0, 0], [1.0, 2.0, 2.0, 1.0])
+    assert m.metadata["backstop_selected"] == 2
+
+
+def test_merge_spline_batches_rejects_mismatched_or_unoptimized(toy_problem):
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        merge_spline_batches,
+    )
+
+    art = _toy_artifact(toy_problem)
+    B = len(art.a)
+    om = np.zeros((B, art.basis.shape[1], 2), np.float32)
+    opt = dataclasses.replace(art, omega_optimized=om,
+                              geodesic_length=np.ones(B))
+    with pytest.raises(ValueError, match="OPTIMIZED"):
+        merge_spline_batches(opt, art)
+    other = dataclasses.replace(opt, pair_indices=opt.pair_indices + 1)
+    with pytest.raises(ValueError, match="same pair set"):
+        merge_spline_batches(opt, other)
+
+
+def test_backstop_dominates_both_arms(toy_problem):
+    """optimize_spline_batch_backstop: the merged result is elementwise
+    not-worse than BOTH the primary (aggressive coarse ladder) and the
+    backstop (fixed-recipe analogue) run separately."""
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+        optimize_spline_batch_backstop,
+    )
+
+    dec, a, b, basis, omega0 = toy_problem
+    art = _toy_artifact(toy_problem)
+    primary = _small_cfg(steps=60, energy={"mode": "single", "num_t": 128},
+                         phase_plan=((60, 32, "cosine", 3e-2),
+                                     (10, 128, "constant", 1e-2)))
+    backstop = _small_cfg(steps=80, lr=1e-2,
+                          energy={"mode": "single", "num_t": 128})
+    r1 = optimize_spline_batch(dec, art, cfg=primary, log_every_chunk=False)
+    r2 = optimize_spline_batch(dec, art, cfg=backstop, log_every_chunk=False)
+    merged = optimize_spline_batch_backstop(
+        dec, art, cfg=primary, backstop_cfg=backstop, log_every_chunk=False)
+    lm = np.asarray(merged.geodesic_length)
+    np.testing.assert_allclose(
+        lm, np.minimum(np.asarray(r1.geodesic_length),
+                       np.asarray(r2.geodesic_length)), rtol=1e-7)
+    assert merged.metadata["backstop_selected"] >= 0
+    # the winning omega is carried with its length: re-evaluating the
+    # merged omegas reproduces the merged lengths
+    t = jnp.linspace(0.0, 1.0, 128)
+    phi = design_matrix(t, jnp.asarray(basis), 4)
+    gamma = eval_spline_design(jnp.asarray(merged.omega_optimized),
+                               a, b, phi, t)
+    # single-decoder batch semantics report data-space arc length
+    np.testing.assert_allclose(
+        lm, np.asarray(E.geodesic_lengths(dec, gamma)), rtol=1e-5)
+
+
+def test_backstop_checkpoints_three_artifacts(toy_problem, tmp_path):
+    from vae_latent_geometry_tpu.io.artifacts import load_spline_batch
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch_backstop,
+    )
+
+    dec, a, b, basis, omega0 = toy_problem
+    art = _toy_artifact(toy_problem)
+    ck = tmp_path / "opt.npz"
+    merged = optimize_spline_batch_backstop(
+        dec, art, cfg=_small_cfg(steps=20,
+                                 energy={"mode": "single", "num_t": 64}),
+        backstop_cfg=_small_cfg(steps=30, lr=1e-2,
+                                energy={"mode": "single", "num_t": 64}),
+        checkpoint_path=str(ck), log_every_chunk=False)
+    assert ck.exists()
+    assert (tmp_path / "opt.primary.npz").exists()
+    assert (tmp_path / "opt.backstop.npz").exists()
+    np.testing.assert_array_equal(
+        np.asarray(load_spline_batch(str(ck)).geodesic_length),
+        np.asarray(merged.geodesic_length))

@@ -263,6 +263,7 @@ def cmd_optimize(args):
     )
     from vae_latent_geometry_tpu.pipeline.optimize_stage import (
         optimize_spline_batch,
+        optimize_spline_batch_backstop,
     )
 
     params = _load_model(args.model)
@@ -293,12 +294,28 @@ def cmd_optimize(args):
     out = Path(args.output or
                f"experiment/splines_opt_{model_name}/"
                f"spline_batch_opt_{args.init_type}_{args.pair_count}.npz")
-    res = optimize_spline_batch(params, art, data=data, cfg=cfg,
-                                checkpoint_path=str(out), mesh=mesh)
+    if args.backstop_fixed:
+        # guaranteed contract: merged result is never worse than the
+        # reference fixed recipe on ANY pair (per-pair best-of; selective
+        # repair is unsound — experiment/adaptive_polish_probe.json)
+        backstop_cfg = GeodesicConfig(
+            steps=1000, lr=1e-3, batch_size=args.batch_size,
+            energy=EnergyConfig(num_t=args.num_t,
+                                mc_samples=args.mc_samples,
+                                mode=args.energy_mode))
+        res = optimize_spline_batch_backstop(
+            params, art, cfg=cfg, backstop_cfg=backstop_cfg, data=data,
+            checkpoint_path=str(out), mesh=mesh)
+    else:
+        res = optimize_spline_batch(params, art, data=data, cfg=cfg,
+                                    checkpoint_path=str(out), mesh=mesh)
     from vae_latent_geometry_tpu.parallel.multihost import is_primary
 
     if is_primary():
         save_spline_batch(res, str(out))
+        n_bk = res.metadata.get("backstop_selected")
+        if n_bk is not None:
+            print(f"[backstop] fixed-recipe arm won on {n_bk} pairs")
         print(f"[ok] optimized {len(res)} splines -> {out}")
 
 
@@ -586,6 +603,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["mc", "mc_scan", "mc_fused", "mc_fused_bf16",
                             "expected", "expected_fused", "expected_fused_bf16",
                             "single", "jvp", "jvp_ensemble"])
+    o.add_argument("--backstop-fixed", action="store_true",
+                   help="also run the reference fixed recipe (1000 steps @ "
+                        "full T, lr 1e-3) and keep the per-pair better "
+                        "curve: guarantees the result is never worse than "
+                        "the reference recipe on any pair (the fast presets "
+                        "alone end worse on ~0.8%% of pairs, max 1.19x — "
+                        "experiment/adaptive_polish_probe.json); with "
+                        "--turbo this costs ~1.2x the fixed recipe alone")
     o.add_argument("--no-euclidean", action="store_true",
                    help="skip encoder Euclidean distances (no data needed)")
     o.add_argument("--dp", type=int, default=None,

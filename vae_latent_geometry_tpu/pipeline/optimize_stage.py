@@ -360,3 +360,84 @@ def optimize_spline_batch(
     if checkpoint_path and primary:
         save_spline_batch(out, checkpoint_path)
     return out
+
+
+def merge_spline_batches(primary: SplineBatchArtifact,
+                         secondary: SplineBatchArtifact) -> SplineBatchArtifact:
+    """Per-pair best-of merge of two optimized artifacts over the SAME pair
+    set: keep whichever run's spline has the smaller final geodesic length
+    (lengths are sqrt of exact-f32 re-evaluated energies — the standard
+    contract — so the min is the lower-energy curve), NaN-aware (a finite
+    length always beats a NaN hole).
+
+    This is the sound form of best-restore across RUNS: because both
+    lengths measure the identical objective on the identical grid, the
+    merged artifact is elementwise not-worse than either input by
+    construction."""
+    if primary.omega_optimized is None or secondary.omega_optimized is None:
+        raise ValueError("merge requires two OPTIMIZED artifacts")
+    l1 = np.asarray(primary.geodesic_length, np.float64)
+    l2 = np.asarray(secondary.geodesic_length, np.float64)
+    if l1.shape != l2.shape or not np.array_equal(
+            np.asarray(primary.pair_indices), np.asarray(secondary.pair_indices)):
+        raise ValueError("merge requires artifacts over the same pair set")
+    take2 = np.where(np.isnan(l1), np.isfinite(l2),
+                     np.isfinite(l2) & (l2 < l1))
+    omega = np.where(take2[:, None, None],
+                     np.asarray(secondary.omega_optimized),
+                     np.asarray(primary.omega_optimized))
+    lengths = np.where(take2, l2, l1)
+    return dataclasses.replace(
+        primary,
+        omega_optimized=omega,
+        geodesic_length=lengths,
+        metadata={**primary.metadata,
+                  "backstop": {k: v for k, v in secondary.metadata.items()
+                               if k not in primary.metadata
+                               or primary.metadata[k] != v},
+                  "backstop_selected": int(take2.sum())},
+    )
+
+
+def optimize_spline_batch_backstop(
+    params,
+    art: SplineBatchArtifact,
+    cfg: GeodesicConfig,
+    backstop_cfg: GeodesicConfig,
+    data: Optional[np.ndarray] = None,
+    key=None,
+    checkpoint_path: Optional[str] = None,
+    log_every_chunk: bool = True,
+    mesh=None,
+) -> SplineBatchArtifact:
+    """Primary recipe + backstop recipe, merged per-pair best-of.
+
+    Motivation (experiment/adaptive_polish_probe.json): the fast presets
+    end worse than the reference fixed recipe on ~0.8% of pairs (max 1.19x)
+    because their coarse-grid phase sometimes lands a different
+    optimization basin — and NO turbo-side signal can flag those pairs
+    (best feature recalls 36% of them at a 17% re-run budget), so
+    selective repair is unsound.  Running the reference recipe as a
+    backstop and keeping the per-pair better curve is the honest contract:
+    the result is never worse than the reference recipe on ANY pair (by
+    construction) and keeps the preset's median win, at primary+backstop
+    cost (~1.2x the reference recipe alone when primary is --turbo).
+    Reference fixed recipe: /root/reference/src/optimize.py:153-162.
+    """
+    ck1 = ck2 = None
+    if checkpoint_path:
+        root = checkpoint_path[:-4] if str(checkpoint_path).endswith(
+            ".npz") else str(checkpoint_path)
+        ck1, ck2 = root + ".primary.npz", root + ".backstop.npz"
+    res1 = optimize_spline_batch(params, art, data=data, cfg=cfg, key=key,
+                                 checkpoint_path=ck1,
+                                 log_every_chunk=log_every_chunk, mesh=mesh)
+    res2 = optimize_spline_batch(params, art, data=data, cfg=backstop_cfg,
+                                 key=key, checkpoint_path=ck2,
+                                 log_every_chunk=log_every_chunk, mesh=mesh)
+    out = merge_spline_batches(res1, res2)
+    from vae_latent_geometry_tpu.parallel.multihost import is_primary
+
+    if checkpoint_path and is_primary():
+        save_spline_batch(out, checkpoint_path)
+    return out
