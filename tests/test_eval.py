@@ -183,3 +183,40 @@ def test_cov_drops_counts_above_ensemble_size(rng):
     with pytest.raises(ValueError, match="no decoder_counts"):
         cov_analysis(models, [0, 1], x, [(0, 1)], decoder_counts=(7,),
                      steps=2, num_t=32, mode="mc")
+
+
+def test_cov_analysis_rep_latents_matches_encoding(rng):
+    """rep_latents= (the CoV blob-anchor path, used when the raw dataset is
+    unavailable) reproduces the data= path exactly when fed the same
+    encoder latents."""
+    import jax as _jax
+
+    from vae_latent_geometry_tpu.models import evae as evae_lib
+
+    latent, xdim = 2, 6
+
+    def mk_model(seed):
+        key = jax.random.PRNGKey(seed)
+        enc = nets.encoder_init(jax.random.fold_in(key, 0), xdim, latent, (16,))
+        decs = _rand_ensemble(jax.random.fold_in(key, 1), m=3,
+                              latent=latent, out=xdim)
+        return EVAEParams(encoder=enc, decoders=decs)
+
+    models = [mk_model(0), mk_model(1)]
+    data = rng.normal(size=(30, xdim)).astype(np.float32)
+    pairs = [(0, 10), (5, 20), (7, 29)]
+    res_data = cov_analysis(models, seeds=[0, 1], data=data, pairs=pairs,
+                            decoder_counts=[1, 3], steps=20, num_t=32)
+    lats = [np.asarray(_jax.jit(
+        lambda p, x: evae_lib.encode(p, x)[0])(m, jnp.asarray(data)))
+        for m in models]
+    res_lat = cov_analysis(models, seeds=[0, 1], data=None, pairs=pairs,
+                           decoder_counts=[1, 3], steps=20, num_t=32,
+                           rep_latents=lats)
+    np.testing.assert_array_equal(res_data.lengths, res_lat.lengths)
+    np.testing.assert_array_equal(res_data.euclidean, res_lat.euclidean)
+
+    with pytest.raises(ValueError, match="one latent array per model"):
+        cov_analysis(models, seeds=[0, 1], data=None, pairs=pairs,
+                     decoder_counts=[1], steps=2, num_t=32,
+                     rep_latents=lats[:1])

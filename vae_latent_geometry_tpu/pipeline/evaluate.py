@@ -130,6 +130,7 @@ def cov_analysis(
     key=None,
     batch_size: Optional[int] = None,
     mesh=None,
+    rep_latents: Optional[Sequence[np.ndarray]] = None,
 ) -> CovResult:
     """Cross-seed stability of geodesic lengths vs ensemble size.
 
@@ -141,6 +142,13 @@ def cov_analysis(
     shards over 'dp' via ``sharded_optimize_splines`` (SURVEY §2.9's plan
     of sharding the CoV grid); results equal the unsharded run (pairs never
     communicate).
+
+    rep_latents: optional per-seed latent arrays, one (N, D) array per
+    model, with ``pairs`` indexing into them; replaces encoding ``data``
+    (which may then be None).  This is how the CoV anchor runs on the
+    upstream-committed spline-blob endpoints when the raw dataset
+    (tasic-pca50.npy) is unavailable — the blobs carry each pair's
+    endpoint latents under that seed's encoder.
     """
     import jax
 
@@ -171,11 +179,17 @@ def cov_analysis(
                             kernel_precision=kernel_precision),
     )
 
+    if rep_latents is not None and len(rep_latents) != len(models):
+        raise ValueError("rep_latents must have one latent array per model")
     lengths = np.zeros((len(models), P, K))
     eucl = np.zeros((len(models), P))
-    data_j = jnp.asarray(data)
+    data_j = None if rep_latents is not None else jnp.asarray(data)
     for s, params in enumerate(models):
-        z_mean = jax.jit(lambda p, x: evae_lib.encode(p, x)[0])(params, data_j)
+        if rep_latents is not None:
+            z_mean = np.asarray(rep_latents[s])
+        else:
+            z_mean = jax.jit(
+                lambda p, x: evae_lib.encode(p, x)[0])(params, data_j)
         za = np.asarray(z_mean[pairs[:, 0]])
         zb = np.asarray(z_mean[pairs[:, 1]])
         eucl[s] = np.linalg.norm(za - zb, axis=1)
