@@ -863,6 +863,106 @@ def stage_dp_slice():
     })
 
 
+def stage_full133_backstop():
+    """Full-scale run of the guaranteed contract (`optimize
+    --backstop-fixed`, pipeline ``optimize_spline_batch_backstop``): turbo
+    primary + reference fixed backstop, per-pair best-of merge.  Asserts
+    the construction at scale: the merged matrix is elementwise <= the
+    committed fixed matrix (up to the fixed arm's run-to-run determinism),
+    and records how many pairs each arm won plus the total cost relative
+    to running the fixed recipe alone."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_latent_geometry_tpu.cli import TURBO_PHASES
+    from vae_latent_geometry_tpu.config import (
+        EnergyConfig,
+        GeodesicConfig,
+        InitConfig,
+    )
+    from vae_latent_geometry_tpu.data.tasic import load_tasic
+    from vae_latent_geometry_tpu.io.artifacts import SplineBatchArtifact
+    from vae_latent_geometry_tpu.models import evae as evae_lib
+    from vae_latent_geometry_tpu.models.torch_import import load_evae_checkpoint
+    from vae_latent_geometry_tpu.pipeline.init_splines import initialize_splines
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch_backstop,
+    )
+    from vae_latent_geometry_tpu.pipeline.select_pairs import (
+        make_pairs,
+        select_representatives,
+    )
+
+    params = load_evae_checkpoint(f"{REF}/experiment/model_seed12.pt")
+    data = load_tasic()
+    latents = np.asarray(jax.jit(
+        lambda p, x: evae_lib.encode(p, x)[0])(params, jnp.asarray(data.x)))
+    reps = select_representatives(latents, data.labels, max_labels=133)
+    init = initialize_splines(latents, make_pairs(reps),
+                              decoders=params.decoders,
+                              cfg=InitConfig(use_entropy=False))
+    label_of = {r["index"]: r["label"] for r in reps}
+    art = SplineBatchArtifact(
+        a=init.a, b=init.b, omega_init=init.omega, basis=init.basis,
+        n_poly=init.n_poly, pair_indices=init.pair_indices, valid=init.valid,
+        pair_labels=[[label_of.get(int(i), "?"), label_of.get(int(j), "?")]
+                     for i, j in init.pair_indices],
+        representatives=reps,
+        metadata={"init_type": init.init_type, "pair_count": 133})
+
+    primary = GeodesicConfig(
+        steps=1200, batch_size=200, phase_plan=TURBO_PHASES,
+        energy=EnergyConfig(num_t=2000, mode="expected_fused",
+                            kernel_precision="f32x2"))
+    backstop = GeodesicConfig(
+        steps=1000, batch_size=200,
+        energy=EnergyConfig(num_t=2000, mode="expected_fused",
+                            kernel_precision=BULK_PREC))
+    t0 = time.perf_counter()
+    merged = optimize_spline_batch_backstop(params, art, cfg=primary,
+                                            backstop_cfg=backstop,
+                                            log_every_chunk=False)
+    wall = time.perf_counter() - t0
+
+    fixed_path = os.path.join(OUT, "plots",
+                              "geodesic_matrix_seed12_euclidean_133.json")
+    cmp = None
+    if os.path.exists(fixed_path):
+        fixed = json.load(open(fixed_path))
+        lbl_idx = {l: i for i, l in enumerate(fixed["cluster_ids"])}
+        fm = np.asarray(fixed["distance_matrix"], float)
+        lf = np.array([fm[lbl_idx[p[0]], lbl_idx[p[1]]]
+                       for p in merged.pair_labels])
+        lm = np.asarray(merged.geodesic_length, float)
+        ok = np.isfinite(lm) & np.isfinite(lf)
+        ratio = lm[ok] / np.maximum(lf[ok], 1e-12)
+        cmp = {"n_common": int(ok.sum()),
+               "median_len_ratio_vs_fixed": float(np.median(ratio)),
+               "max_len_ratio_vs_fixed": float(ratio.max()),
+               "frac_not_worse_1pct": float((ratio <= 1.01).mean()),
+               "frac_not_worse": float((ratio <= 1.0 + 1e-9).mean()),
+               "note_on_max": "vs the COMMITTED fixed matrix from an "
+                              "earlier invocation; vs its own fixed arm "
+                              "the merge is <= 1.0 exactly by construction"}
+        print(f"[backstop] vs committed fixed: worst {cmp['max_len_ratio_vs_fixed']:.5f}, "
+              f"not-worse {cmp['frac_not_worse']:.2%}", flush=True)
+    _write("full133_backstop_timing.json", {
+        "note": "guaranteed contract at full scale: turbo primary + "
+                "reference fixed backstop, per-pair best-of by exact-f32 "
+                "final energies (optimize_spline_batch_backstop)",
+        "workload": "133 classes, 8778 pairs, 10 decoders, single v5e",
+        "wall_clock_seconds": round(wall, 1),
+        "backstop_selected_pairs": int(merged.metadata["backstop_selected"]),
+        "primary_won_pairs": int(np.isfinite(
+            np.asarray(merged.geodesic_length)).sum()
+            - merged.metadata["backstop_selected"]),
+        "fixed_run_comparison": cmp,
+        "data": "synthetic surrogate + reference model_seed12.pt",
+    })
+    print(f"[backstop] {wall:.0f}s, backstop won "
+          f"{merged.metadata['backstop_selected']} pairs", flush=True)
+
+
 STAGES = {
     "golden_a": stage_golden_a,
     "golden_b": stage_golden_b,
@@ -881,6 +981,7 @@ STAGES = {
     "train_multiseed": stage_train_multiseed,
     "ckpt_overhead": stage_ckpt_overhead,
     "dp_slice": stage_dp_slice,
+    "full133_backstop": stage_full133_backstop,
 }
 
 
