@@ -9,9 +9,12 @@ T axis) and the scan-jitted optimizer keeps only (B, K, D) state, so
 memory should be FLAT in T and wall-clock ~linear.
 
 This probe runs the full 8,778-pair turbo recipe at T in {2000, 4000,
-8000} (trajectory rungs scaled proportionally: coarse phase at T/8 with
-the same step counts) and records wall clock plus device memory stats
-where the backend exposes them.  Writes experiment/full133_T_scaling.json.
+8000} (trajectory rungs scaled proportionally: coarse phase at 256/512/
+1024 — the power-of-two ladder keeps every row on the fused kernels;
+T/8 literal would give 250/500, which have no 8-aligned divisor and
+would silently fall back to unfused XLA, mixing code paths across rows)
+and records wall clock plus device memory stats where the backend
+exposes them.  Writes experiment/full133_T_scaling.json.
 """
 import json
 import os
@@ -74,10 +77,10 @@ def main():
         metadata={"init_type": init.init_type, "pair_count": 133})
 
     rows = {}
-    for T in (2000, 4000, 8000):
+    for T, coarse_T in ((2000, 256), (4000, 512), (8000, 1024)):
         cfg = GeodesicConfig(
             steps=1200, batch_size=BS,
-            phase_plan=((1200, T // 8, "cosine", 3e-3),
+            phase_plan=((1200, coarse_T, "cosine", 3e-3),
                         (200, T, "constant", 1e-3)),
             energy=EnergyConfig(num_t=T, mode="expected_fused",
                                 kernel_precision="f32x2"))
@@ -88,7 +91,7 @@ def main():
         L = np.asarray(res.geodesic_length)
         rows[str(T)] = {
             "wall_clock_seconds": round(wall, 1),
-            "coarse_T": T // 8,
+            "coarse_T": coarse_T,
             "median_length": round(float(np.nanmedian(L)), 4),
             "n_finite": int(np.isfinite(L).sum()),
             "memory_after": mem_stats(),
@@ -97,8 +100,9 @@ def main():
 
     w = [rows[str(T)]["wall_clock_seconds"] for T in (2000, 4000, 8000)]
     out = {
-        "workload": "full 8778-pair turbo-recipe optimize (cos1200@T/8 + "
-                    "200@T), expected_fused@f32x2, single v5e; first "
+        "workload": "full 8778-pair turbo-recipe optimize (cos1200@"
+                    "{256,512,1024} + 200@T), expected_fused@f32x2, single "
+                    "v5e; first "
                     "invocation per T includes that T's one-time kernel "
                     "compile / cache load",
         "rows": rows,
