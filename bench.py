@@ -264,6 +264,21 @@ def _workload_wall_clocks() -> dict:
                 out[key] = json.load(open(path)).get("fixed_run_comparison")
             except Exception:
                 pass
+    if out:
+        # the keys do NOT all time the same span — comparing them raw is
+        # apples-to-oranges (each source JSON carries a process_state_note
+        # with the exact conditions)
+        out["wall_clock_semantics"] = {
+            "full133_backstop_guaranteed_s": "optimize stage only "
+                "(no encode/init), single invocation",
+            "full133_rescaled64_s": "full pipeline, FRESH process — the "
+                "cold-start cost (tunnel + compile-cache load) landed in "
+                "its encode stage; use stage_timings.optimize=176.8s for "
+                "recipe comparisons",
+            "default": "full pipeline (encode+init+optimize+matrix) in a "
+                "warm process unless the source JSON's process_state_note "
+                "says otherwise",
+        }
     return out
 
 

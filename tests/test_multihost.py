@@ -24,9 +24,18 @@ import sys
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PORT = 12961
 N_PROC = 2
 LOCAL_DEVICES = 4
+
+
+def _free_port() -> int:
+    """OS-assigned ephemeral port: a fixed constant collides under parallel
+    pytest runs or a lingering TIME_WAIT listener from a killed worker."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 _WORKER = r"""
 import json, os, sys
@@ -108,7 +117,7 @@ def test_multihost_optimize_e2e(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["VLG_TEST_REPO"] = REPO
     env["VLG_TEST_OUT"] = str(tmp_path)
-    env["VLG_COORDINATOR"] = f"localhost:{PORT}"
+    env["VLG_COORDINATOR"] = f"localhost:{_free_port()}"
     env["VLG_NUM_PROCESSES"] = str(N_PROC)
 
     worker_py = tmp_path / "worker.py"
@@ -195,3 +204,30 @@ def test_multihost_optimize_e2e(tmp_path):
     # fused-kernel (interpret) vs XLA accumulation order
     np.testing.assert_allclose(l0, np.asarray(ref.geodesic_length),
                                rtol=2e-4)
+
+
+def test_init_multihost_explicit_request_failure_raises(monkeypatch):
+    """An explicit multi-process request (a named coordinator or a process
+    count > 1) that fails to initialize must raise, not silently degrade to
+    a second single-process 'primary' that races process 0's artifact
+    writes.  Only the no-argument autodetect path may fall back."""
+    import jax
+    import pytest
+
+    from vae_latent_geometry_tpu.parallel.multihost import init_multihost
+
+    for var in ("VLG_COORDINATOR", "VLG_NUM_PROCESSES", "VLG_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+
+    def boom(*a, **k):
+        raise RuntimeError("no cluster")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="no cluster"):
+        init_multihost("localhost:1", None, 1)
+    with pytest.raises(RuntimeError, match="no cluster"):
+        init_multihost(None, 2, 0)
+    with pytest.warns(UserWarning, match="multihost init skipped"):
+        pid, n = init_multihost()
+    assert (pid, n) == (jax.process_index(), jax.process_count())

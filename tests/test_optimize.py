@@ -574,3 +574,102 @@ def test_backstop_checkpoints_three_artifacts(toy_problem, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(load_spline_batch(str(ck)).geodesic_length),
         np.asarray(merged.geodesic_length))
+
+
+def test_expected_rescaled_as_top_level_mode():
+    """Round-4 regression: the quadrature-transfer mode as the TOP-LEVEL
+    energy mode (not buried in a phase_plan) must optimize and report exact
+    same-T expected energies — the final re-evaluation clears
+    ``target_num_t``, which previously tripped the mode's own
+    target_num_t-required check and raised at trace time."""
+    rng = np.random.default_rng(5)
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 12, (24,))
+        for k in jax.random.split(jax.random.PRNGKey(2), 3)
+    ])
+    B = 3
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    basis, _ = nullspace_basis(4)
+    omega0 = jnp.zeros((B, basis.shape[1], 2))
+    cfg = _small_cfg(steps=30, energy={"mode": "expected_rescaled",
+                                       "num_t": 32, "target_num_t": 128})
+    res = optimize_splines(decs, omega0, a, b, basis, cfg,
+                           key=jax.random.PRNGKey(0))
+    # reported energies are the exact expected closed form at the final
+    # omegas on the full num_t grid (same-T semantics, r = 1)
+    t = jnp.linspace(0.0, 1.0, 32)
+    phi = design_matrix(t, jnp.asarray(basis), 4)
+    gamma = eval_spline_design(res.omega, a, b, phi, t)
+    np.testing.assert_allclose(np.asarray(res.energy),
+                               np.asarray(E.energy_expected(decs, gamma)),
+                               rtol=1e-5)
+
+
+def test_backstop_identical_configs_runs_one_arm(toy_problem, monkeypatch):
+    """cfg == backstop_cfg must not double the wall clock merging a run
+    with itself: one arm runs, the merge is trivial."""
+    from vae_latent_geometry_tpu.pipeline import optimize_stage as mod
+
+    dec, *_ = toy_problem
+    art = _toy_artifact(toy_problem)
+    calls = []
+    real = mod.optimize_spline_batch
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(mod, "optimize_spline_batch", counting)
+    cfg = _small_cfg(steps=20, energy={"mode": "single", "num_t": 64})
+    merged = mod.optimize_spline_batch_backstop(
+        dec, art, cfg=cfg, backstop_cfg=cfg, log_every_chunk=False)
+    assert len(calls) == 1
+    assert merged.metadata["backstop_selected"] == 0
+    assert np.isfinite(np.asarray(merged.geodesic_length)).all()
+
+
+def test_backstop_mc_modes_compare_noise_free(toy_problem):
+    """MC-family energy modes report NOISY final energies (fresh decoder
+    draws per arm), so the backstop merge switches both arms'
+    final_energy_mode to the deterministic 'expected' closed form
+    (= E[energy_mc]): the merged lengths are exactly the elementwise min of
+    the two denoised arms, and the stamp records the switch."""
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+        optimize_spline_batch_backstop,
+    )
+
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 12, (24,))
+        for k in jax.random.split(jax.random.PRNGKey(3), 3)
+    ])
+
+    class P:
+        decoders = decs
+
+    art = _toy_artifact(toy_problem)
+    primary = _small_cfg(steps=25, lr=2e-2,
+                         energy={"mode": "mc", "num_t": 64})
+    backstop = _small_cfg(steps=40, lr=5e-3,
+                          energy={"mode": "mc", "num_t": 64})
+    merged = optimize_spline_batch_backstop(
+        P, art, cfg=primary, backstop_cfg=backstop, log_every_chunk=False)
+    assert '"final_energy_mode": "expected"' in merged.metadata["recipe"]
+    r1 = optimize_spline_batch(
+        P, art, cfg=dataclasses.replace(primary,
+                                        final_energy_mode="expected"),
+        log_every_chunk=False)
+    r2 = optimize_spline_batch(
+        P, art, cfg=dataclasses.replace(backstop,
+                                        final_energy_mode="expected"),
+        log_every_chunk=False)
+    np.testing.assert_array_equal(
+        np.asarray(merged.geodesic_length),
+        np.minimum(np.asarray(r1.geodesic_length),
+                   np.asarray(r2.geodesic_length)))
+    # an explicitly-set stochastic final mode is respected but warned about
+    with pytest.warns(UserWarning, match="noise scale"):
+        optimize_spline_batch_backstop(
+            P, art, cfg=dataclasses.replace(primary, final_energy_mode="mc"),
+            backstop_cfg=backstop, log_every_chunk=False)

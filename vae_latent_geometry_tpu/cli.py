@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import sys
 from pathlib import Path
@@ -297,7 +298,15 @@ def cmd_optimize(args):
     if args.backstop_fixed:
         # guaranteed contract: merged result is never worse than the
         # reference fixed recipe on ANY pair (per-pair best-of; selective
-        # repair is unsound — experiment/adaptive_polish_probe.json)
+        # repair is unsound — experiment/adaptive_polish_probe.json).
+        # The backstop arm inherits the final grid/estimator (its lengths
+        # must measure the same objective as the primary's for the merge
+        # to mean anything); say so when that drifts from the reference
+        # recipe's T=2000.
+        if args.num_t != 2000:
+            print(f"[backstop] note: --num-t {args.num_t} — the guarantee "
+                  "is vs the 1000-step fixed recipe at THIS grid, not the "
+                  "reference's T=2000")
         backstop_cfg = GeodesicConfig(
             steps=1000, lr=1e-3, batch_size=args.batch_size,
             energy=EnergyConfig(num_t=args.num_t,
@@ -604,13 +613,18 @@ def build_parser() -> argparse.ArgumentParser:
                             "expected", "expected_fused", "expected_fused_bf16",
                             "single", "jvp", "jvp_ensemble"])
     o.add_argument("--backstop-fixed", action="store_true",
-                   help="also run the reference fixed recipe (1000 steps @ "
-                        "full T, lr 1e-3) and keep the per-pair better "
-                        "curve: guarantees the result is never worse than "
-                        "the reference recipe on any pair (the fast presets "
-                        "alone end worse on ~0.8%% of pairs, max 1.19x — "
-                        "experiment/adaptive_polish_probe.json); with "
-                        "--turbo this costs ~1.2x the fixed recipe alone")
+                   help="also run the fixed reference recipe (1000 steps, "
+                        "constant lr 1e-3) AT THE CONFIGURED --num-t / "
+                        "--energy-mode (so lengths are comparable) and keep "
+                        "the per-pair better curve: the result is never "
+                        "worse than that fixed recipe on any pair (the fast "
+                        "presets alone end worse on ~0.8%% of pairs, max "
+                        "1.19x — experiment/adaptive_polish_probe.json); "
+                        "equals the reference recipe exactly at the default "
+                        "T=2000.  MC modes compare (and report) the exact "
+                        "expected energies so the guarantee is noise-free. "
+                        "Measured full scale: 529 s vs 374 s fixed-only "
+                        "(experiment/full133_backstop_timing.json)")
     o.add_argument("--no-euclidean", action="store_true",
                    help="skip encoder Euclidean distances (no data needed)")
     o.add_argument("--dp", type=int, default=None,
@@ -689,7 +703,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.multihost or args.coordinator:
+    # a generic launcher that exports VLG_COORDINATOR must get the process
+    # group without also threading a flag through its command template —
+    # otherwise every process silently runs single-process and all of them
+    # write the same artifact paths
+    if args.multihost or args.coordinator or os.environ.get("VLG_COORDINATOR"):
         from vae_latent_geometry_tpu.parallel.multihost import init_multihost
 
         pid, n = init_multihost(args.coordinator, args.num_processes,

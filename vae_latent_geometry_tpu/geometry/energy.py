@@ -167,6 +167,28 @@ def _out_dim(decoders) -> int:
     return decoders["layers"][-1]["w"].shape[-1]
 
 
+def _ensemble_stats(decoded, num_active=None):
+    """Sufficient statistics of an ensemble decode: ``decoded`` (M, T, B, X)
+    -> (xbar (T, B, X), var (T, B)) where var_t = mean_d ||x_{d,t} - xbar_t||^2.
+
+    ``num_active``: optional (B,) int — masked means over the first k_b
+    decoders per spline (the CoV k-sweep).  Shared by every expected-family
+    estimator so the masked-mean weighting has exactly one implementation."""
+    m_dec, _, B, _ = decoded.shape
+    if num_active is None:
+        xbar = jnp.mean(decoded, axis=0)               # (T, B, X)
+        dev = decoded - xbar[None]
+        var = jnp.mean(jnp.sum(dev * dev, axis=-1), axis=0)          # (T, B)
+    else:
+        k = jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
+        mask = (jnp.arange(m_dec)[:, None] < k[None, :]).astype(decoded.dtype)
+        w = mask / k.astype(decoded.dtype)[None, :]    # (M, B) mean weights
+        xbar = jnp.einsum("mb,mtbx->tbx", w, decoded)
+        dev = decoded - xbar[None]
+        var = jnp.einsum("mb,mtb->tb", w, jnp.sum(dev * dev, axis=-1))
+    return xbar, var
+
+
 def energy_expected(decoders, gamma, num_active=None):
     """Closed-form expectation of :func:`energy_mc` over decoder draws.
 
@@ -184,18 +206,7 @@ def energy_expected(decoders, gamma, num_active=None):
     k_b decoders per spline (masked means).
     """
     decoded = _decode_ensemble(decoders, gamma)        # (M, T, B, X)
-    m_dec, T, B, X = decoded.shape
-    if num_active is None:
-        xbar = jnp.mean(decoded, axis=0)               # (T, B, X)
-        dev = decoded - xbar[None]
-        var = jnp.mean(jnp.sum(dev * dev, axis=-1), axis=0)          # (T, B)
-    else:
-        k = jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
-        mask = (jnp.arange(m_dec)[:, None] < k[None, :]).astype(decoded.dtype)
-        w = mask / k.astype(decoded.dtype)[None, :]    # (M, B) mean weights
-        xbar = jnp.einsum("mb,mtbx->tbx", w, decoded)
-        dev = decoded - xbar[None]
-        var = jnp.einsum("mb,mtb->tb", w, jnp.sum(dev * dev, axis=-1))
+    xbar, var = _ensemble_stats(decoded, num_active)
     step = xbar[1:] - xbar[:-1]                        # (T-1, B, X)
     seg = jnp.sum(step * step, axis=-1) + var[1:] + var[:-1]
     return jnp.sum(seg, axis=0)
@@ -255,8 +266,7 @@ def energy_jvp_ensemble(decoders, gamma, gamma_dot,
     ``src/old_/jacobian_smgs.py:1-30``.
     """
     decoded = _decode_ensemble(decoders, gamma)        # (M, T, B, X)
-    xbar = jnp.mean(decoded, axis=0)
-    var = jnp.mean(jnp.sum((decoded - xbar[None]) ** 2, axis=-1), axis=0)  # (T,B)
+    _, var = _ensemble_stats(decoded)                  # (T, B)
     disagreement = jnp.sum(var[1:] + var[:-1], axis=0)
 
     def mean_decode(z):
@@ -284,18 +294,8 @@ def energy_expected_rescaled(decoders, gamma, target_num_t: int,
     the transfer quality comes from the exact metric vs from the rescaling
     alone (experiment/jvp_quadrature_study.json)."""
     decoded = _decode_ensemble(decoders, gamma)        # (M, T, B, X)
-    m_dec, T, B, X = decoded.shape
-    if num_active is None:
-        xbar = jnp.mean(decoded, axis=0)
-        dev = decoded - xbar[None]
-        var = jnp.mean(jnp.sum(dev * dev, axis=-1), axis=0)          # (T, B)
-    else:
-        k = jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
-        mask = (jnp.arange(m_dec)[:, None] < k[None, :]).astype(decoded.dtype)
-        w = mask / k.astype(decoded.dtype)[None, :]
-        xbar = jnp.einsum("mb,mtbx->tbx", w, decoded)
-        dev = decoded - xbar[None]
-        var = jnp.einsum("mb,mtb->tb", w, jnp.sum(dev * dev, axis=-1))
+    T = gamma.shape[0]
+    xbar, var = _ensemble_stats(decoded, num_active)
     step = xbar[1:] - xbar[:-1]
     smooth = jnp.sum(jnp.sum(step * step, axis=-1), axis=0)
     disagreement = jnp.sum(var[1:] + var[:-1], axis=0)

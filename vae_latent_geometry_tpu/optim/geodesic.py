@@ -186,22 +186,12 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
     if mode == "jvp_ensemble":
         return energy_lib.energy_jvp_ensemble(decoders, gamma, gamma_dot,
                                               target_num_t)
-    if mode in ("jvp_fused", "jvp_fused_bf16"):
-        from vae_latent_geometry_tpu.ops.energy_jvp_pallas import (
-            energy_jvp_fused,
-            jvp_fused_fits,
-        )
-
-        T, B, D = gamma.shape
-        m_dec = jax.tree_util.tree_leaves(decoders)[0].shape[0]
-        X = decoders["layers"][-1]["w"].shape[-1]
-        if not jvp_fused_fits(T, B, D, X, m_dec):
-            _warn_fallback(mode, T, B, D, X, m_dec)
-            return energy_lib.energy_jvp_ensemble(decoders, gamma, gamma_dot,
-                                                  target_num_t)
-        precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
-        return energy_jvp_fused(decoders, gamma, gamma_dot, precision,
-                                target_num_t)
+    # NOTE: no fused Pallas JVP kernel ships.  The hardware study
+    # (experiment/jvp_speed_probe.json, jvp_quality_probe.json) showed the
+    # exact metric costs ~2.2x per quadrature point over first differences
+    # and transfers no quality the secant 'expected_rescaled' control does
+    # not — the XLA jvp modes above are the production form of the north
+    # star's formulation, and the win is the rescaling, not the fusion.
     if mode == "expected_rescaled":
         if target_num_t is None:
             raise ValueError("energy mode 'expected_rescaled' requires "
@@ -319,11 +309,16 @@ def _exact_cfg(cfg: GeodesicConfig) -> GeodesicConfig:
     and ``final_energy_mode`` when set — reduced precision, coarse grids and
     JVP trajectory modes only ever steer the optimization, never the
     reported numbers."""
+    mode = (cfg.final_energy_mode or cfg.energy.mode).removesuffix("_bf16")
+    if mode == "expected_rescaled":
+        # rescaling is trajectory-only steering; with target_num_t cleared
+        # (same-T semantics, r = 1) the estimator IS energy_expected — name
+        # it so, instead of tripping the mode's target_num_t requirement
+        mode = "expected"
     return dataclasses.replace(
         cfg, energy=dataclasses.replace(
             cfg.energy,
-            mode=(cfg.final_energy_mode
-                  or cfg.energy.mode).removesuffix("_bf16"),
+            mode=mode,
             target_num_t=None,
             kernel_precision="float32"))
 

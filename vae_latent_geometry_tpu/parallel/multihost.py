@@ -74,9 +74,15 @@ def init_multihost(coordinator_address: Optional[str] = None,
             # TPU-pod autodetection path; raises on a plain single host
             jax.distributed.initialize()
     except (RuntimeError, ValueError) as e:
-        if num_processes not in (None, 1):
-            raise  # a real multi-process request failed — surface it
-        # single-host fallback: distributed bring-up is optional there
+        if coordinator_address is not None or num_processes not in (None, 1):
+            # an explicit multi-process request (a coordinator was named, or
+            # a process count > 1) failed — surface it.  Silently degrading
+            # to single-process here would leave THIS process computing
+            # alone and writing artifacts as a second "primary" while the
+            # real process 0 hangs at the coordinator barrier.
+            raise
+        # no-argument autodetect on a plain single host: distributed
+        # bring-up is genuinely optional there
         import warnings
 
         warnings.warn(f"multihost init skipped ({e}); continuing "

@@ -423,7 +423,35 @@ def optimize_spline_batch_backstop(
     construction) and keeps the preset's median win, at primary+backstop
     cost (~1.2x the reference recipe alone when primary is --turbo).
     Reference fixed recipe: /root/reference/src/optimize.py:153-162.
+
+    MC-family energy modes report NOISY final energies (each arm
+    re-evaluates under different decoder draws), so a per-pair ``l2 < l1``
+    merge at noise scale would pick the noise-favored curve and void the
+    guarantee.  For those modes both arms' final re-evaluation is switched
+    to the deterministic ``expected`` closed form — exactly
+    E[energy_mc] over decoder draws — so the comparison (and the stored
+    lengths) are noise-free and the guarantee is exact; the optimization
+    trajectories still run under the configured MC estimator.  An
+    explicitly-set stochastic ``final_energy_mode`` is respected but warned
+    about.
     """
+    def _denoised(c: GeodesicConfig) -> GeodesicConfig:
+        final = (c.final_energy_mode or c.energy.mode).removesuffix("_bf16")
+        if not final.startswith("mc"):
+            return c
+        if c.final_energy_mode is not None:
+            import warnings
+
+            warnings.warn(
+                f"backstop merge with stochastic final_energy_mode "
+                f"{c.final_energy_mode!r}: per-pair comparisons happen at "
+                "MC noise scale, so the never-worse guarantee only holds "
+                "in distribution — drop final_energy_mode to compare on "
+                "the exact expectation instead", stacklevel=3)
+            return c
+        return dataclasses.replace(c, final_energy_mode="expected")
+
+    cfg, backstop_cfg = _denoised(cfg), _denoised(backstop_cfg)
     ck1 = ck2 = None
     if checkpoint_path:
         root = checkpoint_path[:-4] if str(checkpoint_path).endswith(
@@ -432,10 +460,23 @@ def optimize_spline_batch_backstop(
     res1 = optimize_spline_batch(params, art, data=data, cfg=cfg, key=key,
                                  checkpoint_path=ck1,
                                  log_every_chunk=log_every_chunk, mesh=mesh)
-    res2 = optimize_spline_batch(params, art, data=data, cfg=backstop_cfg,
-                                 key=key, checkpoint_path=ck2,
-                                 log_every_chunk=log_every_chunk, mesh=mesh)
-    out = merge_spline_batches(res1, res2)
+    if backstop_cfg == cfg:
+        # the merge would compare a run against itself at double the wall
+        # clock — the caller asked for the guarantee and already has it
+        if log_every_chunk:
+            print("[backstop] backstop config identical to the primary — "
+                  "single arm run, merge is trivial")
+        out = dataclasses.replace(
+            res1, metadata={**res1.metadata, "backstop_selected": 0,
+                            "backstop": {"note": "identical configs; "
+                                         "second arm skipped"}})
+    else:
+        res2 = optimize_spline_batch(params, art, data=data,
+                                     cfg=backstop_cfg, key=key,
+                                     checkpoint_path=ck2,
+                                     log_every_chunk=log_every_chunk,
+                                     mesh=mesh)
+        out = merge_spline_batches(res1, res2)
     from vae_latent_geometry_tpu.parallel.multihost import is_primary
 
     if checkpoint_path and is_primary():
