@@ -173,3 +173,54 @@ def test_save_pytree_writes_exact_path(tmp_path):
     restored, meta = load_pytree(path, tree)
     np.testing.assert_array_equal(restored["w"], tree["w"])
     assert read_meta(path) == {"tag": 1} == meta
+
+
+def test_concurrent_multiprocess_saves_never_corrupt(tmp_path):
+    """Multi-host write safety: two PROCESSES repeatedly saving the same
+    artifact path must always leave a loadable file (per-process temp names
+    + atomic os.replace; a shared temp name would interleave the writers'
+    bytes).  All writers produce identical content, so last-wins is valid."""
+    import sys
+
+    from vae_latent_geometry_tpu.io.artifacts import load_spline_batch
+
+    path = str(tmp_path / "contended.npz")
+    script = (
+        "import sys\n"
+        "import numpy as np\n"
+        "from vae_latent_geometry_tpu.io.artifacts import ("
+        "SplineBatchArtifact, save_spline_batch)\n"
+        "art = SplineBatchArtifact(\n"
+        "    a=np.ones((3, 2), np.float32), b=np.zeros((3, 2), np.float32),\n"
+        "    omega_init=np.zeros((3, 5, 2), np.float32),\n"
+        "    basis=np.eye(16, 5, dtype=np.float32), n_poly=4,\n"
+        "    pair_indices=np.stack([np.arange(3), np.arange(3) + 3], 1),\n"
+        "    valid=np.ones(3, bool), pair_labels=[['x', 'y']] * 3,\n"
+        "    representatives=[], metadata={'tag': 7})\n"
+        "for _ in range(40):\n"
+        "    save_spline_batch(art, sys.argv[1])\n"
+    )
+    worker = tmp_path / "writer.py"
+    worker.write_text(script)
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # APPEND to PYTHONPATH — this rig's env carries the platform plugin dir
+    # there, and clobbering it breaks jax imports in the child
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, str(worker), path],
+                              cwd=repo, env=env)
+             for _ in range(2)]
+    # read while both writers hammer the path: every observation must be a
+    # complete, valid artifact (the atomic-replace contract)
+    seen = 0
+    while any(p.poll() is None for p in procs):
+        if os.path.exists(path):
+            art = load_spline_batch(path)
+            assert art.metadata["tag"] == 7
+            assert np.all(np.asarray(art.a) == 1.0)
+            seen += 1
+    assert [p.wait() for p in procs] == [0, 0]
+    art = load_spline_batch(path)
+    assert art.metadata["tag"] == 7 and seen > 0

@@ -114,6 +114,10 @@ def cmd_train(args):
                           lr=args.lr, seed=args.seed)
         results = {args.seed: train_evae(data.x, cfg, mcfg,
                                          checkpoint_path=args.train_state)}
+    from vae_latent_geometry_tpu.parallel.multihost import is_primary
+
+    if not is_primary():   # process-0 write discipline (multi-host)
+        return
     out = Path(args.save_dir)
     out.mkdir(parents=True, exist_ok=True)
     from vae_latent_geometry_tpu.config import to_dict
@@ -146,6 +150,10 @@ def cmd_train_single(args):
                       lr=args.lr, seed=args.seed,
                       beta_warmup_epochs=30, lr_step_size=200, lr_gamma=0.5)
     res = train_single_vae(data.x, cfg, checkpoint_path=args.train_state)
+    from vae_latent_geometry_tpu.parallel.multihost import is_primary
+
+    if not is_primary():   # process-0 write discipline (multi-host)
+        return
     out = Path(args.save_dir)
     out.mkdir(parents=True, exist_ok=True)
     from vae_latent_geometry_tpu.config import to_dict

@@ -62,7 +62,12 @@ def save_spline_batch(art: SplineBatchArtifact, path: str) -> None:
     # atomic write (temp + rename): these files are per-chunk resume
     # checkpoints of multi-minute runs — a crash mid-serialization must
     # never destroy the previous good checkpoint
-    tmp = path + ".tmp.npz"
+    # per-process temp name: on a multi-host shared filesystem two processes
+    # writing the same artifact must not interleave into one temp file — each
+    # replaces atomically and last-wins with a VALID file (all processes
+    # compute identical results; process-0 gating merely avoids the
+    # duplicated work where it is wired)
+    tmp = f"{path}.tmp.{os.getpid()}.npz"
     np.savez(tmp, __sidecar__=json.dumps(sidecar), **arrays)
     os.replace(tmp, path)
 

@@ -76,7 +76,9 @@ def save_train_state(params: Any, opt_state: Any, path: str, *, epoch: int,
     with 'params'/'opt_state'."""
     meta = {"epoch": int(epoch), **(extra_meta or {})}
     tree = {"params": params, "opt_state": opt_state, **(extra_state or {})}
-    tmp = path + ".tmp.npz"
+    # per-process temp name: concurrent multi-host writers must not
+    # interleave into one temp file (see io/artifacts.save_spline_batch)
+    tmp = f"{path}.tmp.{os.getpid()}.npz"
     save_pytree(tree, tmp, meta)
     os.replace(tmp, path)
 

@@ -38,6 +38,16 @@ from vae_latent_geometry_tpu.models import evae as evae_lib
 from vae_latent_geometry_tpu.models import vae as vae_lib
 
 
+def _primary() -> bool:
+    """Process-0 write discipline (multi-host): every process computes the
+    identical training trajectory (the sharded programs are global), so
+    exactly one persists checkpoints — concurrent writers would duplicate
+    work and, on a shared filesystem, race the temp+rename."""
+    from vae_latent_geometry_tpu.parallel.multihost import is_primary
+
+    return is_primary()
+
+
 @dataclass
 class TrainResult:
     params: object
@@ -280,7 +290,7 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
             # force a host round trip per epoch, defeating the block design
             callback(epoch + n_ep - 1, params, float(tl[-1]), float(vl[-1]))
         epoch += n_ep
-        if checkpoint_path is not None:
+        if checkpoint_path is not None and _primary():
             from vae_latent_geometry_tpu.io.checkpoint import (
                 save_train_state,
             )
@@ -409,7 +419,7 @@ def train_evae_multiseed(data: np.ndarray, seeds,
                   + " | val "
                   + " ".join(f"{v:9.2f}" for v in vl[:, -1]))
         epoch += n_ep
-        if checkpoint_path is not None:
+        if checkpoint_path is not None and _primary():
             from vae_latent_geometry_tpu.io.checkpoint import (
                 save_train_state,
             )
@@ -508,7 +518,7 @@ def train_single_vae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
         if callback is not None:
             callback(epoch + n_ep - 1, params, float(tl[-1]), float(vl[-1]))
         epoch += n_ep
-        if checkpoint_path is not None:
+        if checkpoint_path is not None and _primary():
             from vae_latent_geometry_tpu.io.checkpoint import (
                 save_train_state,
             )
