@@ -61,3 +61,34 @@ def test_split_is_seeded_and_disjoint():
     assert len(np.intersect1d(tr1, va1)) == 0
     tr3, _ = train_val_split(1000, 0.1, seed=8)
     assert not np.array_equal(tr1, tr3)
+
+
+def test_real_x_with_surrogate_labels_is_marked_synthetic(tmp_path):
+    """A data dir with tasic-pca50.npy but NO labels file pairs the real
+    matrix with seeded-random surrogate labels — that must be marked
+    synthetic and warned about (class structure is meaningless), not
+    silently reported as real data."""
+    import warnings
+
+    from vae_latent_geometry_tpu.data.tasic import load_tasic
+
+    x = np.random.default_rng(0).normal(size=(10, 50)).astype(np.float32)
+    np.save(tmp_path / "tasic-pca50.npy", x)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        data = load_tasic(str(tmp_path))
+    assert data.synthetic
+    assert any("surrogate" in str(x.message) for x in w)
+    assert len(data.labels) == 10
+    np.testing.assert_array_equal(data.x, x)
+
+
+def test_mismatched_x_and_labels_raise(tmp_path):
+    from vae_latent_geometry_tpu.data.tasic import load_tasic
+
+    np.save(tmp_path / "tasic-pca50.npy",
+            np.zeros((10, 50), np.float32))
+    np.save(tmp_path / "tasic-ttypes.npy",
+            np.array([f"c{i}" for i in range(8)]))
+    with pytest.raises(ValueError, match="mismatched"):
+        load_tasic(str(tmp_path))

@@ -421,3 +421,38 @@ def test_phase_plan_jvp_mode_and_final_energy_mode(rng):
     gamma0 = eval_spline_design(omega0, a, b, phi, t)
     e0 = np.asarray(E.energy_expected(decs, gamma0))
     assert (np.asarray(res.energy) <= e0 + 1e-5).all()
+
+
+def test_jvp_ensemble_num_active_masks_decoders(rng):
+    """num_active must restrict BOTH jvp terms (masked-mean decoder and
+    disagreement) to the first k decoders per spline — previously it was
+    silently ignored, so a CoV k-sweep under mode='jvp_ensemble' returned
+    identical values for every k."""
+    import jax
+
+    from vae_latent_geometry_tpu.models import nets
+    from vae_latent_geometry_tpu.models.evae import stack_decoders
+
+    decs_list = [nets.decoder_init(k, 2, 9, (16,))
+                 for k in jax.random.split(jax.random.PRNGKey(4), 4)]
+    decs = stack_decoders(decs_list)
+    B, T = 3, 24
+    gamma = jnp.asarray(rng.normal(size=(T, B, 2)), jnp.float32)
+    gamma_dot = jnp.asarray(rng.normal(size=(T, B, 2)), jnp.float32)
+    ks = np.array([1, 2, 4])
+    e_masked = np.asarray(E.energy_jvp_ensemble(decs, gamma, gamma_dot,
+                                                num_active=ks))
+    # per spline, the masked value equals the full computation on the
+    # first-k sub-ensemble
+    for b, k in enumerate(ks):
+        sub = stack_decoders(decs_list[:k])
+        e_sub = np.asarray(E.energy_jvp_ensemble(
+            sub, gamma[:, b:b + 1], gamma_dot[:, b:b + 1]))
+        np.testing.assert_allclose(e_masked[b], e_sub[0], rtol=1e-5)
+    # and k-values genuinely differ (the old bug made them identical)
+    assert not np.allclose(e_masked[0], e_masked[2], rtol=1e-4)
+    # rescaling composes with masking
+    e_resc = np.asarray(E.energy_jvp_ensemble(decs, gamma, gamma_dot,
+                                              target_num_t=200,
+                                              num_active=ks))
+    assert not np.allclose(e_resc, e_masked, rtol=1e-4)

@@ -673,3 +673,45 @@ def test_backstop_mc_modes_compare_noise_free(toy_problem):
         optimize_spline_batch_backstop(
             P, art, cfg=dataclasses.replace(primary, final_energy_mode="mc"),
             backstop_cfg=backstop, log_every_chunk=False)
+
+
+def test_early_stopping_refuses_multiphase_recipes(toy_problem):
+    """Guard at the public early-stopping entry: a phase_plan or
+    coarse+polish recipe would be silently dropped by the single-phase
+    while-loop optimizer."""
+    dec, a, b, basis, omega0 = toy_problem
+    cfg = _small_cfg(steps=20, energy={"mode": "single", "num_t": 32},
+                     phase_plan=((10, 16, "cosine", 1e-2),
+                                 (10, 32, "constant", 1e-3)))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        optimize_spline_early_stopping(dec, omega0, a, b, basis, cfg)
+    cfg2 = _small_cfg(steps=20, traj_num_t=16, polish_steps=5,
+                      energy={"mode": "single", "num_t": 32})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        optimize_spline_early_stopping(dec, omega0, a, b, basis, cfg2)
+
+
+def test_resume_refuses_checkpoint_from_different_inputs(toy_problem,
+                                                         tmp_path, capsys):
+    """The resume stamp binds the INPUT artifact identity: a checkpoint
+    computed from different endpoints at the same pair count and config
+    must be discarded and recomputed, not adopted."""
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        optimize_spline_batch,
+    )
+
+    dec, *_ = toy_problem
+    art = _toy_artifact(toy_problem)
+    cfg = _small_cfg(steps=25, energy={"mode": "single", "num_t": 64})
+    ckpt = str(tmp_path / "resume.npz")
+    optimize_spline_batch(dec, art, cfg=cfg, checkpoint_path=ckpt,
+                          log_every_chunk=False)
+    # same pair count + config, DIFFERENT endpoints
+    art2 = dataclasses.replace(art, a=np.asarray(art.a) + 0.37)
+    res2 = optimize_spline_batch(dec, art2, cfg=cfg, checkpoint_path=ckpt,
+                                 log_every_chunk=False)
+    err = capsys.readouterr().err
+    assert "different config" in err or "cannot be validated" in err
+    fresh = optimize_spline_batch(dec, art2, cfg=cfg, log_every_chunk=False)
+    np.testing.assert_array_equal(np.asarray(res2.geodesic_length),
+                                  np.asarray(fresh.geodesic_length))

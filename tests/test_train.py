@@ -242,3 +242,24 @@ def test_multiseed_rejects_duplicate_seeds_and_empty_budget(tiny_data):
                                TrainConfig(epochs=0, batch_size=64), mcfg,
                                log_every=0)
     assert res[3].train_losses.shape == (0,)
+
+
+def test_evae_beta_warmup_affects_trajectory(tiny_data):
+    """TrainConfig.beta_warmup_epochs must actually ramp the ensemble
+    trainer's KL weight (it was computed per epoch and then dropped);
+    beta_warmup_epochs=0, the default, keeps the reference's constant
+    beta=1 trajectory."""
+    from vae_latent_geometry_tpu.config import ModelConfig, TrainConfig
+    from vae_latent_geometry_tpu.pipeline.train import train_evae
+
+    x = tiny_data
+    mcfg = ModelConfig(input_dim=x.shape[1], num_decoders=2,
+                       encoder_hidden=(8,), decoder_hidden=(8,))
+    base = dict(epochs=3, batch_size=16, lr=1e-3, seed=3)
+    r_const = train_evae(x, TrainConfig(**base), mcfg, log_every=0)
+    r_warm = train_evae(x, TrainConfig(**base, beta_warmup_epochs=10), mcfg,
+                        log_every=0)
+    assert not np.allclose(r_const.train_losses, r_warm.train_losses)
+    # epoch 0 of the warm-up run trains at beta=0 (pure reconstruction), so
+    # its first-epoch loss must differ from the constant-beta run's
+    assert r_const.train_losses[0] != r_warm.train_losses[0]

@@ -39,7 +39,9 @@ class TasicData:
     x: np.ndarray            # (N, 50) float32
     labels: np.ndarray       # (N,) str
     colors: Optional[np.ndarray]  # (N,) str hex, or None
-    synthetic: bool          # True when x is the surrogate
+    synthetic: bool          # True when ANY component (x or labels) is a
+    #                          surrogate — downstream class structure is then
+    #                          not the real dataset's
 
 
 def _find(name: str, data_dir: Optional[str]) -> Optional[str]:
@@ -73,23 +75,43 @@ def synthesize_tasic_like(labels: np.ndarray, seed: int = 0) -> np.ndarray:
 
 def load_tasic(data_dir: Optional[str] = None, allow_synthetic: bool = True,
                seed: int = 0) -> TasicData:
+    x_path = _find("tasic-pca50.npy", data_dir)
+    x = np.load(x_path).astype(np.float32) if x_path is not None else None
+
     labels_path = _find("tasic-ttypes.npy", data_dir)
     if labels_path is None:
         if not allow_synthetic:
             raise FileNotFoundError("tasic-ttypes.npy not found")
         rng = np.random.default_rng(seed)
-        labels = np.array([f"class_{i:03d}" for i in rng.integers(0, 133, N_CELLS)])
+        n = len(x) if x is not None else N_CELLS
+        labels = np.array([f"class_{i:03d}"
+                           for i in rng.integers(0, 133, n)])
         colors = None
+        if x is not None:
+            # a REAL expression matrix grouped by random surrogate labels is
+            # the worst failure mode: every downstream stage (representative
+            # selection, pairs, CoV) runs to completion on garbage class
+            # structure — say so, and mark the result synthetic
+            import warnings
+
+            warnings.warn(
+                "tasic-pca50.npy found but tasic-ttypes.npy is missing: "
+                "pairing the REAL matrix with seeded-random surrogate "
+                "labels — class structure (representatives, pairs, CoV) is "
+                "meaningless", stacklevel=2)
     else:
         labels = np.load(labels_path, allow_pickle=True).astype(str)
         colors_path = _find("tasic-colors.npy", data_dir)
         colors = (np.load(colors_path, allow_pickle=True).astype(str)
                   if colors_path else None)
 
-    x_path = _find("tasic-pca50.npy", data_dir)
-    if x_path is not None:
-        x = np.load(x_path).astype(np.float32)
-        return TasicData(x=x, labels=labels, colors=colors, synthetic=False)
+    if x is not None:
+        if len(labels) != len(x):
+            raise ValueError(
+                f"tasic-pca50.npy has {len(x)} rows but tasic-ttypes.npy "
+                f"has {len(labels)} labels — mismatched data dir")
+        return TasicData(x=x, labels=labels, colors=colors,
+                         synthetic=labels_path is None)
     if not allow_synthetic:
         raise FileNotFoundError("tasic-pca50.npy not found")
     return TasicData(

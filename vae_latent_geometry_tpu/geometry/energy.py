@@ -237,7 +237,8 @@ def energy_jvp(decoder_params, gamma, gamma_dot):
 
 
 def energy_jvp_ensemble(decoders, gamma, gamma_dot,
-                        target_num_t: Optional[int] = None):
+                        target_num_t: Optional[int] = None,
+                        num_active=None):
     """Expected ensemble energy in the T->inf limit, split into a JVP
     quadrature term (mean over decoders) and a decoder-disagreement term.
 
@@ -262,15 +263,29 @@ def energy_jvp_ensemble(decoders, gamma, gamma_dot,
     not.  ``None`` keeps the same-T semantics (r = 1): the drop-in smoother
     sibling of :func:`energy_expected`.
 
+    ``num_active``: optional (B,) int — restrict both terms to the first k_b
+    decoders per spline (masked means, same semantics as
+    :func:`energy_expected`'s): the variance through :func:`_ensemble_stats`
+    and the JVP through the masked-mean decoder.
+
     Done-right version of the reference's dead exact-pullback energy,
     ``src/old_/jacobian_smgs.py:1-30``.
     """
     decoded = _decode_ensemble(decoders, gamma)        # (M, T, B, X)
-    _, var = _ensemble_stats(decoded)                  # (T, B)
+    _, var = _ensemble_stats(decoded, num_active)      # (T, B)
     disagreement = jnp.sum(var[1:] + var[:-1], axis=0)
 
-    def mean_decode(z):
-        return jnp.mean(decode_all(decoders, z), axis=0)
+    if num_active is None:
+        def mean_decode(z):
+            return jnp.mean(decode_all(decoders, z), axis=0)
+    else:
+        m_dec, _, B, _ = decoded.shape
+        k = jnp.broadcast_to(jnp.asarray(num_active, jnp.int32), (B,))
+        mask = (jnp.arange(m_dec)[:, None] < k[None, :]).astype(gamma.dtype)
+        wm = mask / k.astype(gamma.dtype)[None, :]     # (M, B) mean weights
+
+        def mean_decode(z):
+            return jnp.einsum("mb,mtbx->tbx", wm, decode_all(decoders, z))
 
     _, tangents = jax.jvp(mean_decode, (gamma,), (gamma_dot,))
     T = gamma.shape[0]

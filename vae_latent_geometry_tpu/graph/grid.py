@@ -87,14 +87,11 @@ def entropy_weights(decoders, grid: np.ndarray, eps: float = 1e-8,
     decode of the whole grid, chunked to bound device memory.
     """
 
+    from vae_latent_geometry_tpu.models.evae import decoder_std
+
     @jax.jit
     def _node_entropy(z):
-        outs = decode_all(decoders, z)               # (M, C, X)
-        std = jnp.std(outs, axis=0)                  # torch.std default:
-        # torch uses Bessel's correction (unbiased); jnp.std is biased.
-        m = outs.shape[0]
-        std = std * jnp.sqrt(m / max(m - 1, 1))
-        return jnp.linalg.norm(std, axis=-1)
+        return jnp.linalg.norm(decoder_std(decoders, z), axis=-1)
 
     parts = []
     for start in range(0, len(grid), chunk):

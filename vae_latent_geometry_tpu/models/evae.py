@@ -95,9 +95,26 @@ def _diag_normal_logprob(x, mean, std):
     )
 
 
-def elbo(params: EVAEParams, key, x, cfg: ModelConfig = ModelConfig()):
+def decoder_std(decoders, z):
+    """Per-feature std over the ensemble decoders at ``z``, with torch's
+    Bessel correction (the reference uses ``torch.std``'s unbiased default:
+    ``src/init_splines_ensemble.py:50``, ``src/plot_latents.py:33``).  The
+    single shared implementation behind the entropy-weighted init graph
+    (norm over features) and the uncertainty map (mean over features)."""
+    outs = decode_all(decoders, z)                 # (M, ..., X)
+    m = outs.shape[0]
+    return jnp.std(outs, axis=0) * jnp.sqrt(m / max(m - 1, 1))
+
+
+def elbo(params: EVAEParams, key, x, cfg: ModelConfig = ModelConfig(),
+         beta=None):
     """Single-sample ELBO with one random decoder for the whole batch
-    (reference ``src/train.py:56-62``)."""
+    (reference ``src/train.py:56-62``).
+
+    ``beta``: optional KL weight override — the trainers thread their
+    per-epoch warm-up value here (``TrainConfig.beta_warmup_epochs``);
+    ``None`` keeps the model's fixed ``cfg.beta`` (the reference ensemble
+    trainer's constant beta=1)."""
     z_key, dec_key = jax.random.split(key)
     mean, log_std = encode(params, x, cfg)
     std = jnp.exp(log_std)
@@ -111,11 +128,13 @@ def elbo(params: EVAEParams, key, x, cfg: ModelConfig = ModelConfig()):
     logqz = _diag_normal_logprob(z, mean, std)
     logpz = _diag_normal_logprob(z, jnp.zeros_like(z), jnp.ones_like(z))
     kl = logqz - logpz
-    return jnp.mean(logpxz - cfg.beta * kl)
+    b = cfg.beta if beta is None else beta
+    return jnp.mean(logpxz - b * kl)
 
 
-def neg_elbo(params: EVAEParams, key, x, cfg: ModelConfig = ModelConfig()):
-    return -elbo(params, key, x, cfg)
+def neg_elbo(params: EVAEParams, key, x, cfg: ModelConfig = ModelConfig(),
+             beta=None):
+    return -elbo(params, key, x, cfg, beta)
 
 
 def sample(params: EVAEParams, key, n: int = 1,

@@ -325,7 +325,14 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
 
     ws = [w_refs[i][:] for i in range(n_layers)]
     bs = [b_refs[i][:] for i in range(n_layers)]
-    wp = [_prep_ws_m(ws, m, dtype) for m in range(M)]
+    # slot 0 repurposed with f32 W1 rows for _backprop_chain's dgamma
+    # contraction (same convention as the MC and stats kernels — ONE
+    # implementation of the cotangent rung policy)
+    wp = []
+    for m in range(M):
+        wm = _prep_ws_m(ws, m, dtype)
+        wm[0] = [ws[0][m, d].astype(jnp.float32) for d in range(D)]
+        wp.append(wm)
     wmb = wmb_ref[:]
     n_chunks = T // Tc
     ct = ct_ref[0, :]                     # (B,)
@@ -359,21 +366,8 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
                                    wpairs=wp[m])
             x3 = x.reshape(Tc, B, X)
             dx = scale * (c_coeff * x3 - left - right)    # (Tc, B, X)
-            dh = dx.reshape(Tc * B, X)
-            # cotangent chain: dh is difference-valued, so bf16 rounding is
-            # RELATIVE to the gradient itself (not to |x|) — run the chain
-            # single-pass under the reduced rungs; only the activation
-            # recompute above needs the split passes (docs/NUMERICS.md)
-            chain_prec = "bfloat16" if dtype in ("f32x3", "f32x2") else dtype
-            for i in range(n_layers - 1, 0, -1):
-                dh = _mp_dot(dh, wp[m][i], chain_prec, transpose=True)
-                act = acts[i - 2] if i >= 2 else h1
-                dh = dh * (act > 0.0)
-            # first layer backprop: dg_d = sum_h dh1[:, h] * W1[d, h]
-            dh3 = dh.reshape(Tc, B, ws[0].shape[-1])
-            for d in range(D):
-                w1d = ws[0][m, d].astype(jnp.float32)     # (H1,)
-                dgs[d] = dgs[d] + jnp.sum(dh3 * w1d[None, None, :], axis=-1)
+            _backprop_chain(dx, h1, acts, ws, wp[m], dtype, Tc, B,
+                            n_layers, dgs)
         for d in range(D):
             dg_refs[d][pl.ds(start, Tc), :] = dgs[d]
         return 0

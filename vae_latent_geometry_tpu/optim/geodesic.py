@@ -185,7 +185,7 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
         return energy_lib.energy_jvp(decoders, gamma, gamma_dot)
     if mode == "jvp_ensemble":
         return energy_lib.energy_jvp_ensemble(decoders, gamma, gamma_dot,
-                                              target_num_t)
+                                              target_num_t, num_active)
     # NOTE: no fused Pallas JVP kernel ships.  The hardware study
     # (experiment/jvp_speed_probe.json, jvp_quality_probe.json) showed the
     # exact metric costs ~2.2x per quadrature point over first differences
@@ -495,6 +495,14 @@ def optimize_spline_early_stopping(decoders, omega0, a, b, basis,
     """Best-params-restoring early-stopped optimization (batched over B with
     per-spline patience counters; the loop exits when every spline is out of
     patience or the step budget is spent)."""
+    # guard at THIS public entry (mirror of sharded_optimize_splines): the
+    # while-loop optimizer runs a single constant phase, so silently
+    # accepting a phase_plan / coarse+polish recipe would drop the
+    # full-resolution pass the recipes' dominance evidence depends on
+    if cfg.phase_plan or (cfg.traj_num_t is not None and cfg.polish_steps > 0):
+        raise ValueError(
+            "early stopping and the multi-phase fast recipes (traj_num_t + "
+            "polish_steps, or phase_plan) are mutually exclusive — pick one")
     if key is None:
         key = jax.random.PRNGKey(0)
     omega, e = _optimize_early_stop(

@@ -198,15 +198,20 @@ def run_golden(seed: int, out_dir: str, root: str = REFERENCE_ROOT,
     """Run the reproduction and write matrix + comparison JSON artifacts."""
     os.makedirs(out_dir, exist_ok=True)
     # config-stamped checkpoint name: resume must never silently serve a
-    # DIFFERENT config's results (the canonical 500-step blob is committed)
-    # batch_size is deliberately NOT part of the stamp: the deterministic
-    # modes optimize each spline independently (no cross-spline coupling in
-    # loss or sampling), so results are batch-size-invariant; chunking only
-    # changes how many splines share one jitted program.
+    # DIFFERENT config's results (the canonical 500-step blob is committed).
+    # RESULTS are batch-size-invariant for the deterministic modes (each
+    # spline optimizes independently), but the optimize stage's resume
+    # stamp keys the whole recipe INCLUDING batch_size (it must: the MC
+    # modes fold their key streams per chunk start), so a non-default
+    # batch_size gets its own checkpoint file — otherwise every rerun with
+    # a different batch_size would loudly discard and overwrite the
+    # canonical blob, thrashing between the two configs.
     canonical = (steps == 500 and num_t == 2000 and mode == "single_fused"
-                 and pairs_limit is None)
-    stamp = "" if canonical else f"_{mode}_s{steps}_t{num_t}" + (
-        f"_p{pairs_limit}" if pairs_limit is not None else "")
+                 and pairs_limit is None and batch_size == 500)
+    stamp = "" if canonical else (
+        f"_{mode}_s{steps}_t{num_t}"
+        + (f"_bs{batch_size}" if batch_size != 500 else "")
+        + (f"_p{pairs_limit}" if pairs_limit is not None else ""))
     ckpt = os.path.join(out_dir, f"golden133_seed{seed}_blob{stamp}.npz")
     mat, labels, art = reproduce_matrix(
         seed, root, steps=steps, num_t=num_t, batch_size=batch_size,

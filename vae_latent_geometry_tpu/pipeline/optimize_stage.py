@@ -151,9 +151,19 @@ def optimize_spline_batch(
     # precision, batch_size — all of which change the produced results),
     # so e.g. resuming a reference-recipe checkpoint under --fast/--turbo
     # is refused even though their resolved `steps` coincide.
+    # the stamp must also bind the INPUT artifact's identity: the config
+    # check alone would adopt a stale checkpoint computed from different
+    # endpoints/inits (e.g. the init stage re-run from retrained latents at
+    # the same pair count) and silently mix two runs' curves
+    import hashlib
+
+    h = hashlib.sha256()
+    for arr in (art.pair_indices, art.a, art.b, art.omega_init, art.valid):
+        h.update(np.ascontiguousarray(arr).tobytes())
     cfg_stamp = {"steps": cfg.steps, "energy_mode": cfg.energy.mode,
                  "num_t": cfg.energy.num_t,
                  "mc_samples": cfg.energy.mc_samples,
+                 "inputs_digest": h.hexdigest(),
                  "recipe": json.dumps(dataclasses.asdict(cfg),
                                       sort_keys=True, default=str)}
 

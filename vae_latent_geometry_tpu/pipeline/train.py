@@ -271,7 +271,12 @@ def train_evae(data: np.ndarray, cfg: TrainConfig = TrainConfig(),
         if log_every:
             print(f"[resume] training state restored at epoch {epoch}")
 
-    loss_fn = lambda p, k, x, beta: evae_lib.neg_elbo(p, k, x, model_cfg)
+    # thread the per-epoch warm-up through as a RAMP on the model's own
+    # KL weight (beta_warmup_epochs=0, the default, keeps the ramp at
+    # 1.0, i.e. exactly cfg.beta — the reference ensemble trainer's
+    # constant beta, upstream src/train.py:62)
+    loss_fn = lambda p, k, x, ramp: evae_lib.neg_elbo(
+        p, k, x, model_cfg, ramp * model_cfg.beta)
     train_block = make_block_fn(loss_fn, opt, cfg.batch_size, cfg)
 
     while epoch < cfg.epochs:
@@ -403,7 +408,12 @@ def train_evae_multiseed(data: np.ndarray, seeds,
             print(f"[resume] multiseed training state restored at epoch "
                   f"{epoch}")
 
-    loss_fn = lambda p, k, x, beta: evae_lib.neg_elbo(p, k, x, model_cfg)
+    # thread the per-epoch warm-up through as a RAMP on the model's own
+    # KL weight (beta_warmup_epochs=0, the default, keeps the ramp at
+    # 1.0, i.e. exactly cfg.beta — the reference ensemble trainer's
+    # constant beta, upstream src/train.py:62)
+    loss_fn = lambda p, k, x, ramp: evae_lib.neg_elbo(
+        p, k, x, model_cfg, ramp * model_cfg.beta)
     train_block = make_multiseed_block_fn(loss_fn, opt, cfg.batch_size, cfg)
 
     while epoch < cfg.epochs:

@@ -223,7 +223,7 @@ def plot_uncertainty_map(params, latents, save_path: str,
     (reference ``src/plot_latents.py:52-110``)."""
     import jax.numpy as jnp
 
-    from vae_latent_geometry_tpu.models.evae import decode_all
+    from vae_latent_geometry_tpu.models.evae import decoder_std
 
     _ensure_dir(save_path)
     c1 = (latents[:, 0].min() + latents[:, 0].max()) / 2
@@ -233,9 +233,7 @@ def plot_uncertainty_map(params, latents, save_path: str,
     zs2 = np.linspace(c2 - half, c2 + half, resolution)
     Z1, Z2 = np.meshgrid(zs1, zs2, indexing="xy")
     grid = np.stack([Z1.ravel(), Z2.ravel()], axis=-1).astype(np.float32)
-    decoded = np.asarray(decode_all(params.decoders, jnp.asarray(grid)))
-    m = decoded.shape[0]
-    std = decoded.std(axis=0) * np.sqrt(m / max(m - 1, 1))  # torch unbiased
+    std = np.asarray(decoder_std(params.decoders, jnp.asarray(grid)))
     unc = std.mean(axis=1).reshape(resolution, resolution)
 
     fig, ax = plt.subplots(figsize=(7, 7))
