@@ -212,6 +212,52 @@ def test_turbo_flag_wires_phase_plan_through_cmd_optimize(workdir,
     assert np.isfinite(art.geodesic_length[art.valid]).all()
 
 
+def test_optimize_kernel_precision_flag_wires_through(workdir):
+    """`optimize --kernel-precision` must reach EnergyConfig (trajectory
+    rung selection): the default is the f32x2 bulk rung every committed
+    full-scale timing artifact uses, and an explicit value lands in the
+    recipe stamp the run writes into the artifact metadata."""
+    from vae_latent_geometry_tpu.cli import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["optimize", "--model", "m.pt"])
+    assert args.kernel_precision == "f32x2"
+
+    from vae_latent_geometry_tpu.io.artifacts import load_spline_batch
+
+    _ensure_trained(workdir)
+    dd = str(workdir / "data")
+    if not (workdir / "experiment" / "splines_init_model_seed5" /
+            "spline_batch_init_euclidean_4.npz").exists():
+        main(["init-splines", "--data-dir", dd,
+              "--model", "experiment/model_seed5.npz",
+              "--pairfile", "experiment/pairs/selected_pairs_4.json",
+              "--grid", "30"])
+    out = workdir / "prec_out.npz"
+    main(["optimize", "--data-dir", dd,
+          "--model", "experiment/model_seed5.npz",
+          "--init-type", "euclidean", "--pair-count", "4",
+          "--batch-size", "4", "--num-t", "32", "--steps", "3",
+          "--energy-mode", "expected_fused",
+          "--kernel-precision", "float32", "--output", str(out)])
+    art = load_spline_batch(str(out))
+    assert '"kernel_precision": "float32"' in art.metadata["recipe"]
+    assert np.isfinite(art.geodesic_length[art.valid]).all()
+
+
+def test_optimize_batch_size_scales_with_dp():
+    """Default chunk size keeps 200 pairs PER dp device (the dp-slice
+    projection's operating point); an explicit --batch-size always wins."""
+    from vae_latent_geometry_tpu.cli import build_parser, resolve_batch_size
+
+    assert resolve_batch_size(None, None) == 200
+    assert resolve_batch_size(None, 8) == 1600
+    assert resolve_batch_size(500, 8) == 500
+    p = build_parser()
+    args = p.parse_args(["optimize", "--model", "m.pt"])
+    assert args.batch_size is None  # sentinel: resolved inside cmd_optimize
+
+
 def test_cli_cov_with_mesh(workdir):
     """eval --mode cov --dp runs the CoV grid through the sharded optimizer
     and produces the same JSON artifact schema."""

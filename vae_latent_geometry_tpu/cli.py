@@ -264,6 +264,17 @@ def fill_optimize_flag_defaults(args) -> None:
             setattr(args, k, v)
 
 
+def resolve_batch_size(batch_size, dp) -> int:
+    """Default chunk size: 200 pairs PER data-parallel device.
+
+    Chunks are sharded over dp (pipeline/optimize_stage.py), so a fixed 200
+    on a dp-device mesh would hand each device a 200/dp-pair batch — far off
+    the measured per-device operating point the v4-8 projection assumes
+    (experiment/dp_slice_timing.json: 200 pairs/device).  An explicit
+    ``--batch-size`` always wins."""
+    return batch_size if batch_size is not None else 200 * (dp or 1)
+
+
 def cmd_optimize(args):
     from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
     from vae_latent_geometry_tpu.io.artifacts import (
@@ -285,6 +296,11 @@ def cmd_optimize(args):
     if args.fast and not args.turbo:
         apply_fast_preset(args)
     fill_optimize_flag_defaults(args)
+    if args.batch_size is None:
+        args.batch_size = resolve_batch_size(None, args.dp)
+        if args.dp:
+            print(f"[info] --batch-size not given: scaled to "
+                  f"{args.batch_size} (200 per dp device)")
     cfg = GeodesicConfig(
         steps=args.steps, lr=args.lr, batch_size=args.batch_size,
         lr_schedule=args.lr_schedule, early_stop=args.early_stop,
@@ -292,7 +308,8 @@ def cmd_optimize(args):
         polish_lr=args.polish_lr,
         phase_plan=TURBO_PHASES if args.turbo else None,
         energy=EnergyConfig(num_t=args.num_t, mc_samples=args.mc_samples,
-                            mode=args.energy_mode),
+                            mode=args.energy_mode,
+                            kernel_precision=args.kernel_precision),
     )
     mesh = None
     if args.dp or args.ep > 1:
@@ -319,7 +336,8 @@ def cmd_optimize(args):
             steps=1000, lr=1e-3, batch_size=args.batch_size,
             energy=EnergyConfig(num_t=args.num_t,
                                 mc_samples=args.mc_samples,
-                                mode=args.energy_mode))
+                                mode=args.energy_mode,
+                                kernel_precision=args.kernel_precision))
         res = optimize_spline_batch_backstop(
             params, art, cfg=cfg, backstop_cfg=backstop_cfg, data=data,
             checkpoint_path=str(out), mesh=mesh)
@@ -613,13 +631,28 @@ def build_parser() -> argparse.ArgumentParser:
                         "(experiment/full133_turbo_timing.json); overrides "
                         "steps/lr/schedule/traj-num-t/polish flags")
     o.add_argument("--lr", type=float, default=None, help="(default 1e-3)")
-    o.add_argument("--batch-size", type=int, default=200)
+    o.add_argument("--batch-size", type=int, default=None,
+                   help="pairs per optimization chunk (default 200 per "
+                        "data-parallel device, i.e. 200 x --dp: chunks are "
+                        "sharded over dp, and the measured per-device "
+                        "operating point is 200 — "
+                        "experiment/dp_slice_timing.json)")
     o.add_argument("--num-t", type=int, default=2000)
     o.add_argument("--mc-samples", type=int, default=2)
     o.add_argument("--energy-mode", default="mc",
                    choices=["mc", "mc_scan", "mc_fused", "mc_fused_bf16",
                             "expected", "expected_fused", "expected_fused_bf16",
                             "single", "jvp", "jvp_ensemble"])
+    o.add_argument("--kernel-precision", default="f32x2",
+                   choices=["float32", "f32x3", "f32x2"],
+                   help="MXU precision rung for fused-kernel optimization "
+                        "steps (docs/NUMERICS.md ladder).  Trajectory-only: "
+                        "final energies are always re-evaluated at exact "
+                        "float32.  Default f32x2 is the bulk production "
+                        "rung every committed full-scale timing artifact "
+                        "uses (experiment/full133_*_timing.json); f32x3 "
+                        "adds one MXU pass of margin, float32 is the "
+                        "ladder's exact-but-slow rung")
     o.add_argument("--backstop-fixed", action="store_true",
                    help="also run the fixed reference recipe (1000 steps, "
                         "constant lr 1e-3) AT THE CONFIGURED --num-t / "
@@ -665,7 +698,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "f32x3", "f32x2"],
                    help="MXU precision rung for the fused kernels' "
                         "optimization steps (final energies always "
-                        "re-evaluate at exact float32)")
+                        "re-evaluate at exact float32).  Default f32x3 "
+                        "matches the committed CoV artifact "
+                        "(experiment/cov_timing.json: mc_fused@f32x3); "
+                        "f32x2 is the faster bulk rung")
     e.add_argument("--batch-size", type=int, default=None)
     e.add_argument("--dp", type=int, default=None,
                    help="data-parallel mesh size for the CoV optimizations "
