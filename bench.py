@@ -255,6 +255,14 @@ def _workload_wall_clocks() -> dict:
                 out[key] = json.load(open(path)).get("wall_clock_seconds")
             except Exception:
                 pass
+    cct = os.path.join(REPO, "experiment", "compile_cache_timing.json")
+    if os.path.exists(cct):
+        try:
+            d = json.load(open(cct))
+            out["cli_invocation_warm_vs_uncached_s"] = {
+                "warm": d.get("warm_s"), "uncached": d.get("off_s")}
+        except Exception:
+            pass
     for key, fname in (
             ("full133_fast_vs_fixed", "full133_fast_timing.json"),
             ("full133_backstop_vs_fixed", "full133_backstop_timing.json")):

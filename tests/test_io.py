@@ -87,6 +87,19 @@ def test_reference_blob_conversion():
     assert art.metadata["steps"] == 1000
 
 
+@requires_reference
+def test_load_spline_batch_reads_reference_pt_directly():
+    """CLI `--splines ref_blob.pt` must work without manual conversion
+    (docs/MIGRATION.md: "spline blobs load directly")."""
+    art = load_spline_batch(
+        "/root/reference/experiment/splines_opt_model_seed12/"
+        "spline_batch_opt_euclidean_10.pt"
+    )
+    assert len(art) == 45
+    assert art.basis.shape == (16, 5)
+    assert np.isfinite(art.geodesic_length).all()
+
+
 def test_yaml_config_reference_schema(tmp_path):
     """The reference's configs/config.yaml schema loads directly."""
     from vae_latent_geometry_tpu.config import from_yaml

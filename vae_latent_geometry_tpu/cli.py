@@ -747,6 +747,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # every pipeline stage is a fresh process (reference model, SURVEY §1);
+    # without this each invocation recompiles byte-identical XLA programs
+    from vae_latent_geometry_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     # a generic launcher that exports VLG_COORDINATOR must get the process
     # group without also threading a flag through its command template —
     # otherwise every process silently runs single-process and all of them

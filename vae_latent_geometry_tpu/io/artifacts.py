@@ -76,6 +76,12 @@ def load_spline_batch(path: str) -> SplineBatchArtifact:
     path = str(path)
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path += ".npz"
+    if path.endswith((".pt", ".pth")):
+        # reference torch spline blobs (src/optimize.py:190-201) load
+        # directly — torch is used as a file reader only
+        from vae_latent_geometry_tpu.models.torch_import import load_spline_blob
+
+        return from_reference_blob(load_spline_blob(path))
     with np.load(path, allow_pickle=False) as f:
         sidecar = json.loads(str(f["__sidecar__"]))
         arrays = {k: f[k] for k in f.files if k != "__sidecar__"}
