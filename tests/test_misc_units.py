@@ -143,18 +143,24 @@ def test_get_logger_is_configured_once():
 def test_enable_compile_cache(tmp_path, monkeypatch):
     from vae_latent_geometry_tpu.utils.compile_cache import enable_compile_cache
 
-    # explicit dir wins, is created, and is what jax is pointed at
-    d = str(tmp_path / "jc")
-    assert enable_compile_cache(d) == d
-    assert os.path.isdir(d)
-    assert jax.config.jax_compilation_cache_dir == d
+    # restore afterwards: later tests in this process must not inherit a
+    # cache dir pointing into this test's deleted tmp_path
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # explicit dir wins, is created, and is what jax is pointed at
+        d = str(tmp_path / "jc")
+        assert enable_compile_cache(d) == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
 
-    # env override
-    d2 = str(tmp_path / "jc2")
-    monkeypatch.setenv("VLG_COMPILE_CACHE", d2)
-    assert enable_compile_cache() == d2
+        # env override
+        d2 = str(tmp_path / "jc2")
+        monkeypatch.setenv("VLG_COMPILE_CACHE", d2)
+        assert enable_compile_cache() == d2
 
-    # kill switch: returns None and leaves the previous setting untouched
-    monkeypatch.setenv("VLG_NO_COMPILE_CACHE", "1")
-    assert enable_compile_cache(str(tmp_path / "jc3")) is None
-    assert jax.config.jax_compilation_cache_dir == d2
+        # kill switch: returns None and leaves the previous setting untouched
+        monkeypatch.setenv("VLG_NO_COMPILE_CACHE", "1")
+        assert enable_compile_cache(str(tmp_path / "jc3")) is None
+        assert jax.config.jax_compilation_cache_dir == d2
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
