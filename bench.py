@@ -11,8 +11,13 @@ config: batch 200 splines, T=2000 quadrature points, M=2 MC decoder pairs,
   the upstream repo ships no published speed numbers — BASELINE.md).
   The baseline number is cached in .bench_baseline.json after first run.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+Prints ONE compact JSON line as the FINAL stdout line (the driver captures
+only the last ~2 KB of stdout, so the headline must stay small — the full
+record with caveat prose, baselines, and wall-clock semantics goes to stderr
+and to the ``bench_details.json`` sidecar):
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N,
+   "ladder_steps_per_sec": {...}, "mfu": {...}, "numerics_gate_ok": bool,
+   "wall_clocks_s": {...}, "details": "bench_details.json"}
 """
 
 from __future__ import annotations
@@ -508,7 +513,7 @@ def main():
         print(f"[bench] NUMERICS GATE FAILED for {bad}: {numerics}",
               file=sys.stderr)
 
-    print(json.dumps({
+    full = {
         "metric": "ensemble_energy_opt_steps_per_sec_B200_T2000_10dec",
         # a steps/s number on corrupted arithmetic is not a result: the
         # headline is nulled (and the exit code below is non-zero) when the
@@ -540,9 +545,62 @@ def main():
             "identical hardware at identical float32 precision; never "
             "quote vs_baseline without these and the workload wall-clocks "
             "in docs/PERFORMANCE.md"),
-    }))
+    }
+    # the FULL record (baselines, caveat prose, wall-clock semantics) goes to
+    # a sidecar + stderr; the final stdout line is the compact headline that
+    # must survive the driver's ~2 KB tail capture
+    details_path = os.path.join(REPO, "bench_details.json")
+    with open(details_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(f"[bench] full record: {json.dumps(full)}", file=sys.stderr)
+    print(make_headline(full))
     if bad:
         sys.exit(2)
+
+
+# the driver captures only the final ~2,000 chars of stdout; leave headroom
+HEADLINE_CHAR_BUDGET = 1500
+
+
+def make_headline(full: dict) -> str:
+    """Compact single-line headline JSON derived from the full record.
+
+    Keeps: value, vs_* ratios, the full steps/s ladder, per-rung MFU, the
+    numerics-gate verdict, and the key production wall clocks.  Everything
+    else (caveat prose, baseline provenance, wall-clock semantics) lives in
+    ``bench_details.json``.  Guaranteed under HEADLINE_CHAR_BUDGET: if the
+    assembled line ever exceeds it, lower-priority sections are dropped
+    (wall clocks first, then MFU) rather than risking a truncated record."""
+    mfu = full.get("mfu") or {}
+    compact_mfu = {"chip": mfu.get("chip"),
+                   "peak_bf16_tflops": mfu.get("peak_bf16_tflops")}
+    for name, r in (mfu.get("rungs") or {}).items():
+        compact_mfu[name] = [r.get("mfu_model"), r.get("mfu_mxu")]
+    wc = full.get("workload_wall_clocks") or {}
+    wall = {k: wc[k] for k in (
+        "full133_reference_recipe_s", "full133_turbo_recipe_s",
+        "full133_backstop_guaranteed_s", "cov_6300_runs_s",
+        "train_600_epochs_s") if isinstance(wc.get(k), (int, float))}
+    head = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "vs_baseline": full["vs_baseline"],
+        "vs_jax_cpu_same_program": full.get("vs_jax_cpu_same_program"),
+        "fused_vs_unfused_same_tpu": full.get("fused_vs_unfused_same_tpu"),
+        "ladder_steps_per_sec": full.get("ladder_steps_per_sec"),
+        "mfu": compact_mfu,
+        "numerics_gate_ok": full.get("numerics_gate_ok"),
+        "wall_clocks_s": wall,
+        "details": "bench_details.json",
+    }
+    line = json.dumps(head, separators=(",", ":"))
+    for drop in ("wall_clocks_s", "mfu", "ladder_steps_per_sec"):
+        if len(line) <= HEADLINE_CHAR_BUDGET:
+            break
+        head.pop(drop, None)
+        line = json.dumps(head, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

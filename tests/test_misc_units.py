@@ -144,8 +144,10 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
     from vae_latent_geometry_tpu.utils.compile_cache import enable_compile_cache
 
     # restore afterwards: later tests in this process must not inherit a
-    # cache dir pointing into this test's deleted tmp_path
+    # cache dir pointing into this test's deleted tmp_path, nor the lowered
+    # min-compile-time threshold
     prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         # explicit dir wins, is created, and is what jax is pointed at
         d = str(tmp_path / "jc")
@@ -162,5 +164,16 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         monkeypatch.setenv("VLG_NO_COMPILE_CACHE", "1")
         assert enable_compile_cache(str(tmp_path / "jc3")) is None
         assert jax.config.jax_compilation_cache_dir == d2
+
+        # "=0"/"=false" must NOT trip the kill switch (documented contract
+        # is =1; ADVICE r4)
+        monkeypatch.setenv("VLG_NO_COMPILE_CACHE", "0")
+        d3 = str(tmp_path / "jc3")
+        monkeypatch.setenv("VLG_COMPILE_CACHE", d3)
+        assert enable_compile_cache() == d3
+        monkeypatch.setenv("VLG_NO_COMPILE_CACHE", "false")
+        assert enable_compile_cache() == d3
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)

@@ -20,10 +20,21 @@ import numpy as np
 from vae_latent_geometry_tpu.models.evae import EVAEParams, stack_decoders
 
 
-def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+def _torch_load(path: str):
+    """``torch.load`` restricted to tensors/containers (weights_only=True).
+
+    Everything this module reads — reference state_dicts and spline blobs —
+    is plain tensors/dicts/lists/primitives, so the restricted unpickler
+    suffices and arbitrary-code-execution pickles from an untrusted ``.pt``
+    are rejected instead of executed (this path is reachable from the CLI via
+    ``--splines foo.pt``)."""
     import torch  # local import: file-reading only
 
-    sd = torch.load(path, map_location="cpu")
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    sd = _torch_load(path)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return {k: v.detach().numpy() for k, v in sd.items()}
@@ -131,9 +142,7 @@ def load_spline_blob(path: str) -> Dict[str, Any]:
     optionally 'metadata'.  Bare lists (legacy single-decoder blobs,
     ``src/single_decoder/optimize_energy.py:262``) are wrapped.
     """
-    import torch
-
-    blob = torch.load(path, map_location="cpu")
+    blob = _torch_load(path)
     if isinstance(blob, list):
         blob = {"spline_data": blob, "representatives": None, "pairs": None}
 

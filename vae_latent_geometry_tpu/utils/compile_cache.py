@@ -31,7 +31,8 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     ``VLG_NO_COMPILE_CACHE``.  Must be called before the first compilation
     to benefit that compilation (calling later is harmless).
     """
-    if os.environ.get("VLG_NO_COMPILE_CACHE"):
+    if os.environ.get("VLG_NO_COMPILE_CACHE", "").lower() in (
+            "1", "true", "yes"):
         return None
     if cache_dir is None:
         cache_dir = os.environ.get("VLG_COMPILE_CACHE") or os.path.join(
@@ -41,8 +42,8 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
 
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # Cache even quick compiles: the pipeline launches many small programs
-    # (final re-evaluation, encoder passes) whose compile times add up
-    # across stages.
+    # Lower the default 1 s min-compile-time threshold to 0.5 s: the
+    # pipeline launches many small programs (final re-evaluation, encoder
+    # passes) whose compile times add up across stages.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return cache_dir
