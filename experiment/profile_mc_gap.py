@@ -144,7 +144,11 @@ def main():
             "inkernel_draws_cost_ms": round(
                 kernel_ms["mc_rng_S2"] - kernel_ms["mc_extidx_S2"], 3),
         },
-        "traces": "experiment/mc_gap_traces/<variant>/ (jax.profiler)",
+        "traces": "local-only: jax.profiler dumps under experiment/"
+                  "mc_gap_traces/<variant>/ are regenerated by "
+                  "experiment/profile_mc_gap.py and NOT committed "
+                  "(.gitignore); the committed evidence is the "
+                  "energy_grad_ms/decomposition tables above",
     }
     path = os.path.join(OUT, "mc_gap_profile.json")
     with open(path, "w") as f:
