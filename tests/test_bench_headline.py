@@ -91,6 +91,26 @@ def test_headline_parses_and_fits_budget():
     assert head["details"] == "bench_details.json"
 
 
+def test_headline_from_committed_details_record():
+    """The committed bench_details.json (the real hardware record) must
+    itself compress to an under-budget, parseable headline."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_details.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no committed bench_details.json")
+    with open(path) as f:
+        full = json.load(f)
+    line = bench.make_headline(full)
+    assert len(line) <= bench.HEADLINE_CHAR_BUDGET, len(line)
+    head = json.loads(line)
+    assert head["unit"] == "steps/s"
+    assert "ladder_steps_per_sec" in head and "mfu" in head
+
+
 def test_headline_nulled_value_survives():
     full = _realistic_full_record()
     full["value"] = None
