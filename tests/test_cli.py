@@ -328,3 +328,64 @@ def test_cli_backstop_fixed_merges_per_pair_best(workdir, monkeypatch):
     v = merged.valid & np.isfinite(lp) & np.isfinite(lb)
     np.testing.assert_allclose(lm[v], np.minimum(lp, lb)[v], rtol=1e-7)
     assert "backstop_selected" in merged.metadata
+
+
+def _ensure_optimized(workdir):
+    """An optimized 4-pair artifact for eval-stage tests (self-contained)."""
+    _ensure_trained(workdir)
+    dd = str(workdir / "data")
+    opt_path = (workdir / "experiment" / "splines_opt_model_seed5" /
+                "spline_batch_opt_euclidean_4.npz")
+    if not opt_path.exists():
+        if not (workdir / "experiment" / "splines_init_model_seed5" /
+                "spline_batch_init_euclidean_4.npz").exists():
+            main(["init-splines", "--data-dir", dd,
+                  "--model", "experiment/model_seed5.npz",
+                  "--pairfile", "experiment/pairs/selected_pairs_4.json",
+                  "--grid", "30"])
+        main(["optimize", "--data-dir", dd,
+              "--model", "experiment/model_seed5.npz",
+              "--init-type", "euclidean", "--pair-count", "4",
+              "--steps", "15", "--num-t", "48", "--energy-mode", "expected"])
+    return opt_path
+
+
+def test_eval_matrix_output_flag(workdir):
+    """eval --output redirects the matrix JSON (and its heatmap) anywhere,
+    instead of the hardwired experiment/plots/ convention."""
+    opt_path = _ensure_optimized(workdir)
+    out = workdir / "custom" / "nested" / "my_matrix.json"
+    main(["eval", "--mode", "matrix", "--seed", "5",
+          "--init-type", "euclidean", "--pair-count", "4",
+          "--splines", str(opt_path), "--output", str(out)])
+    assert out.exists()
+    m = json.loads(out.read_text())
+    assert len(m["distance_matrix"]) == 4
+    assert out.with_suffix(".png").exists()
+
+
+def test_stability_rejects_binary_artifact(workdir, capsys):
+    """Feeding a spline .npz where a JSON is expected must produce a clear
+    one-line error naming the expected artifact kind, not a raw
+    UnicodeDecodeError traceback."""
+    opt_path = _ensure_optimized(workdir)
+    pairfile = workdir / "experiment" / "pairs" / "selected_pairs_4.json"
+    with pytest.raises(SystemExit) as e:
+        main(["stability", "pairs", "--a", str(opt_path),
+              "--b", str(pairfile)])
+    msg = str(e.value.code)
+    assert "selected-pairs JSONs" in msg and str(opt_path) in msg
+
+
+def test_stability_pairs_and_frobenius_happy_paths(workdir):
+    opt_path = _ensure_optimized(workdir)
+    pairfile = str(workdir / "experiment" / "pairs" / "selected_pairs_4.json")
+    with pytest.raises(SystemExit) as e:
+        main(["stability", "pairs", "--a", pairfile, "--b", pairfile])
+    assert e.value.code == 0
+    mat = workdir / "experiment" / "plots" / "geodesic_matrix_seed5_euclidean_4.json"
+    if not mat.exists():
+        main(["eval", "--mode", "matrix", "--seed", "5",
+              "--init-type", "euclidean", "--pair-count", "4",
+              "--splines", str(opt_path)])
+    main(["stability", "frobenius", "--a", str(mat), "--b", str(mat)])

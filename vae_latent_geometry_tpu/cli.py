@@ -361,7 +361,8 @@ def cmd_eval(args):
         distance_matrix,
     )
 
-    plot_dir = Path("experiment/plots")
+    plot_dir = (Path(args.output).parent if args.output
+                else Path("experiment/plots"))
     plot_dir.mkdir(parents=True, exist_ok=True)
     if args.mode == "matrix":
         spline_path = (args.splines or
@@ -369,8 +370,9 @@ def cmd_eval(args):
                        f"spline_batch_opt_{args.init_type}_{args.pair_count}.npz")
         art = load_spline_batch(spline_path)
         mat, labels = distance_matrix(art, args.len_type)
-        out_json = plot_dir / (f"{args.len_type}_matrix_seed{args.seed}_"
-                               f"{args.init_type}_{args.pair_count}.json")
+        out_json = Path(args.output) if args.output else plot_dir / (
+            f"{args.len_type}_matrix_seed{args.seed}_"
+            f"{args.init_type}_{args.pair_count}.json")
         out_json.write_text(json.dumps({
             "seed": args.seed, "cluster_ids": labels,
             "distance_matrix": [[None if np.isnan(v) else float(v) for v in row]
@@ -415,7 +417,8 @@ def cmd_eval(args):
                            mode=args.energy_mode,
                            kernel_precision=args.kernel_precision,
                            batch_size=args.batch_size, mesh=mesh)
-        out = plot_dir / f"cov_values_alldec_{args.pair_count}.json"
+        out = (Path(args.output) if args.output
+               else plot_dir / f"cov_values_alldec_{args.pair_count}.json")
         res.save(out)
         print(f"[ok] wrote {out}")
         try:
@@ -483,6 +486,20 @@ def cmd_stability(args):
         check_pair_determinism,
         frobenius_from_json,
     )
+
+    # both kinds consume JSON artifacts; a binary artifact (e.g. a spline
+    # .npz) would otherwise surface as a raw UnicodeDecodeError traceback
+    expected = ("distance-matrix JSONs (eval --mode matrix output)"
+                if args.kind == "frobenius"
+                else "selected-pairs JSONs (select-pairs output)")
+    for path in (args.a, args.b):
+        try:
+            json.loads(Path(path).read_text())
+        except (UnicodeDecodeError, json.JSONDecodeError, OSError) as ex:
+            raise SystemExit(
+                f"[stability] {path} is not readable as JSON "
+                f"({type(ex).__name__}: {ex}); `stability {args.kind}` "
+                f"compares two {expected}")
 
     if args.kind == "frobenius":
         res = frobenius_from_json(args.a, args.b)
@@ -703,6 +720,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(experiment/cov_timing.json: mc_fused@f32x3); "
                         "f32x2 is the faster bulk rung")
     e.add_argument("--batch-size", type=int, default=None)
+    e.add_argument("--output", default=None,
+                   help="result JSON path (matrix: the distance-matrix "
+                        "JSON; cov: the cov-values JSON); companion plots "
+                        "are written next to it.  Default: the reference's "
+                        "experiment/plots/ naming convention under the cwd")
     e.add_argument("--dp", type=int, default=None,
                    help="data-parallel mesh size for the CoV optimizations "
                         "(default: no mesh)")
@@ -723,8 +745,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     st = sub.add_parser("stability", help="cross-seed stability checks")
     st.add_argument("kind", choices=["frobenius", "pairs"])
-    st.add_argument("--a", required=True)
-    st.add_argument("--b", required=True)
+    st.add_argument("--a", required=True,
+                    help="first artifact: a distance-matrix JSON (eval "
+                         "--mode matrix output) for `frobenius`, a "
+                         "selected-pairs JSON (select-pairs output) for "
+                         "`pairs`")
+    st.add_argument("--b", required=True,
+                    help="second artifact, same kind as --a")
     st.set_defaults(fn=cmd_stability)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
