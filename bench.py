@@ -553,7 +553,7 @@ def main():
     with open(details_path, "w") as f:
         json.dump(full, f, indent=1)
     print(f"[bench] full record: {json.dumps(full)}", file=sys.stderr)
-    print(make_headline(full))
+    print(make_headline(full, details_path))
     if bad:
         sys.exit(2)
 
@@ -562,15 +562,18 @@ def main():
 HEADLINE_CHAR_BUDGET = 1500
 
 
-def make_headline(full: dict) -> str:
+def make_headline(full: dict, details_path: str = "bench_details.json") -> str:
     """Compact single-line headline JSON derived from the full record.
 
-    Keeps: value, vs_* ratios, the full steps/s ladder, per-rung MFU, the
+    Carries: value, vs_* ratios, the steps/s ladder, per-rung MFU, the
     numerics-gate verdict, and the key production wall clocks.  Everything
     else (caveat prose, baseline provenance, wall-clock semantics) lives in
-    ``bench_details.json``.  Guaranteed under HEADLINE_CHAR_BUDGET: if the
-    assembled line ever exceeds it, lower-priority sections are dropped
-    (wall clocks first, then MFU) rather than risking a truncated record."""
+    the ``details`` sidecar (the headline records its path).  Kept under
+    HEADLINE_CHAR_BUDGET by dropping sections in priority order — wall
+    clocks, then MFU, then the ladder — rather than risking a truncated
+    record; value/vs_*/gate always survive (at realistic record sizes
+    nothing is dropped: the real round-5 line is ~930 chars with every
+    section present)."""
     mfu = full.get("mfu") or {}
     compact_mfu = {"chip": mfu.get("chip"),
                    "peak_bf16_tflops": mfu.get("peak_bf16_tflops")}
@@ -592,7 +595,9 @@ def make_headline(full: dict) -> str:
         "mfu": compact_mfu,
         "numerics_gate_ok": full.get("numerics_gate_ok"),
         "wall_clocks_s": wall,
-        "details": "bench_details.json",
+        # absolute path: bench may run from any cwd (vlg-tpu bench), and a
+        # consumer resolving a bare name against ITS cwd would miss the file
+        "details": os.path.abspath(details_path),
     }
     line = json.dumps(head, separators=(",", ":"))
     for drop in ("wall_clocks_s", "mfu", "ladder_steps_per_sec"):

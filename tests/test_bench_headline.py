@@ -88,7 +88,9 @@ def test_headline_parses_and_fits_budget():
     assert head["mfu"]["expected_fused_f32x2"][1] > 0
     assert head["mfu"]["mc_fused_f32x2"][0] > 0
     assert head["wall_clocks_s"]["full133_backstop_guaranteed_s"] == 529.003
-    assert head["details"] == "bench_details.json"
+    # absolute so any-cwd consumers can resolve the sidecar
+    assert head["details"].endswith("bench_details.json")
+    assert head["details"].startswith("/")
 
 
 def test_headline_from_committed_details_record():

@@ -237,3 +237,55 @@ def test_concurrent_multiprocess_saves_never_corrupt(tmp_path):
     assert [p.wait() for p in procs] == [0, 0]
     art = load_spline_batch(path)
     assert art.metadata["tag"] == 7 and seen > 0
+
+
+def test_reference_blob_roundtrip_with_numpy_metadata(tmp_path, rng):
+    """to_reference_blob must sanitize numpy scalars/arrays in
+    representatives/metadata so its own hardened (weights_only=True) loader
+    can read the export back (code-review r5 finding: UnpicklingError)."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    from vae_latent_geometry_tpu.io.artifacts import to_reference_blob
+
+    art = SplineBatchArtifact(
+        a=rng.normal(size=(2, 2)).astype(np.float32),
+        b=rng.normal(size=(2, 2)).astype(np.float32),
+        omega_init=rng.normal(size=(2, 5, 2)).astype(np.float32),
+        basis=rng.normal(size=(16, 5)).astype(np.float32), n_poly=4,
+        pair_indices=np.arange(4).reshape(2, 2),
+        valid=np.ones(2, bool),
+        pair_labels=[["a", "b"]] * 2,
+        representatives=[{"index": np.int64(0), "label": "a",
+                          "latent": np.arange(2.0)}],
+        omega_optimized=rng.normal(size=(2, 5, 2)).astype(np.float32),
+        geodesic_length=np.array([1.0, 2.0], np.float32),
+        metadata={"steps": np.int32(100), "scale": np.float64(0.5),
+                  "curve": np.arange(3.0)},
+    )
+    p = str(tmp_path / "blob.pt")
+    to_reference_blob(art, p)
+    back = load_spline_batch(p)       # routes through load_spline_blob
+    np.testing.assert_allclose(back.a, art.a, rtol=1e-6)
+    np.testing.assert_allclose(back.omega_optimized, art.omega_optimized,
+                               rtol=1e-6)
+    assert back.metadata["steps"] == 100
+
+
+def test_torch_load_numpy_fallback_and_module_rejection(tmp_path):
+    """Blobs from older exporters may pickle bare numpy objects: the loader
+    retries with numpy's reconstruction machinery allowlisted (data-only).
+    A full nn.Module pickle stays rejected, with an error naming the fix."""
+    torch = pytest.importorskip("torch")
+    from vae_latent_geometry_tpu.models.torch_import import _torch_load
+
+    legacy = {"spline_data": [], "meta": {"n": np.int64(3),
+                                          "x": np.arange(4.0)}}
+    p1 = str(tmp_path / "legacy.pt")
+    torch.save(legacy, p1)
+    got = _torch_load(p1)
+    assert got["meta"]["n"] == 3
+    np.testing.assert_array_equal(got["meta"]["x"], np.arange(4.0))
+
+    p2 = str(tmp_path / "module.pt")
+    torch.save(torch.nn.Linear(2, 2), p2)
+    with pytest.raises(RuntimeError, match="state_dict"):
+        _torch_load(p2)

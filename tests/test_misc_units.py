@@ -165,8 +165,13 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
         assert enable_compile_cache(str(tmp_path / "jc3")) is None
         assert jax.config.jax_compilation_cache_dir == d2
 
-        # "=0"/"=false" must NOT trip the kill switch (documented contract
-        # is =1; ADVICE r4)
+        # any non-falsy value trips the switch (legacy =on / =y users stay
+        # disabled) ...
+        for v in ("on", "y", "2"):
+            monkeypatch.setenv("VLG_NO_COMPILE_CACHE", v)
+            assert enable_compile_cache(str(tmp_path / "jc3")) is None
+        # ... but explicit falsy values must NOT silently disable the
+        # cache (documented contract is =1; ADVICE r4)
         monkeypatch.setenv("VLG_NO_COMPILE_CACHE", "0")
         d3 = str(tmp_path / "jc3")
         monkeypatch.setenv("VLG_COMPILE_CACHE", d3)

@@ -51,12 +51,32 @@ def test_console_script_target_resolves_from_pyproject():
 
 
 def test_pyproject_package_discovery_matches_tree():
-    # every on-disk subpackage must be matched by the packages.find include
-    # pattern, or a built wheel silently ships without it
+    """Every on-disk (sub)package must (a) be a real package (__init__.py —
+    setuptools find() drops module dirs without one) and (b) have its dotted
+    name matched by pyproject's packages.find include patterns — otherwise a
+    built wheel silently ships without it."""
+    import fnmatch
+
+    try:
+        import tomllib
+    except ImportError:  # pragma: no cover - py<3.11
+        pytest.skip("tomllib unavailable")
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
+        cfg = tomllib.load(f)
+    include = cfg["tool"]["setuptools"]["packages"]["find"]["include"]
+
     pkg_root = os.path.join(REPO, "vae_latent_geometry_tpu")
+    found = []
     for dirpath, dirnames, filenames in os.walk(pkg_root):
         dirnames[:] = [d for d in dirnames if d != "__pycache__"]
         if any(f.endswith(".py") for f in filenames):
-            assert "__init__.py" in filenames or dirpath == pkg_root, (
+            assert "__init__.py" in filenames, (
                 f"{dirpath} has modules but no __init__.py — "
                 "setuptools find() would drop it from the wheel")
+            dotted = os.path.relpath(dirpath, REPO).replace(os.sep, ".")
+            found.append(dotted)
+    assert "vae_latent_geometry_tpu" in found
+    for dotted in found:
+        assert any(fnmatch.fnmatch(dotted, pat) for pat in include), (
+            f"package {dotted} matches no packages.find include pattern "
+            f"{include} — the wheel would drop it")

@@ -488,21 +488,25 @@ def cmd_stability(args):
     )
 
     # both kinds consume JSON artifacts; a binary artifact (e.g. a spline
-    # .npz) would otherwise surface as a raw UnicodeDecodeError traceback
+    # .npz) would otherwise surface as a raw UnicodeDecodeError traceback.
+    # Parse once here and hand the dicts through (the pipeline functions
+    # accept path-or-dict) — no double read/parse.
     expected = ("distance-matrix JSONs (eval --mode matrix output)"
                 if args.kind == "frobenius"
                 else "selected-pairs JSONs (select-pairs output)")
+    parsed = []
     for path in (args.a, args.b):
         try:
-            json.loads(Path(path).read_text())
+            parsed.append(json.loads(Path(path).read_text()))
         except (UnicodeDecodeError, json.JSONDecodeError, OSError) as ex:
             raise SystemExit(
                 f"[stability] {path} is not readable as JSON "
                 f"({type(ex).__name__}: {ex}); `stability {args.kind}` "
                 f"compares two {expected}")
+    da, db = parsed
 
     if args.kind == "frobenius":
-        res = frobenius_from_json(args.a, args.b)
+        res = frobenius_from_json(da, db)
         print(json.dumps({
             "common": len(res.common_labels),
             "only_in_a": res.only_in_a, "only_in_b": res.only_in_b,
@@ -510,7 +514,7 @@ def cmd_stability(args):
             "frob_diff": res.frob_diff, "rel_diff": res.rel_diff,
         }, indent=2))
     elif args.kind == "pairs":
-        same = check_pair_determinism(args.a, args.b)
+        same = check_pair_determinism(da, db)
         print(f"pair files {'MATCH' if same else 'DIFFER'}")
         sys.exit(0 if same else 1)
 

@@ -126,11 +126,27 @@ def to_reference_blob(art: SplineBatchArtifact, path: Optional[str] = None):
         if art.euclidean_distance is not None:
             d["euclidean_distance"] = float(art.euclidean_distance[p])
         spline_data.append(d)
+    def _plain(v):
+        """Sanitize to plain Python containers/scalars: representatives and
+        metadata are caller-supplied and may carry numpy scalars/arrays,
+        which the hardened ``weights_only=True`` loader would refuse to
+        unpickle — the exporter must not produce blobs its own loader (or
+        the reference's) cannot read."""
+        if isinstance(v, dict):
+            return {str(k): _plain(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_plain(x) for x in v]
+        if isinstance(v, np.ndarray):
+            return torch.from_numpy(np.ascontiguousarray(v))
+        if isinstance(v, np.generic):
+            return v.item()
+        return v
+
     blob = {
         "spline_data": spline_data,
-        "representatives": art.representatives,
+        "representatives": _plain(art.representatives),
         "pairs": [[int(i), int(j)] for i, j in art.pair_indices],
-        "metadata": dict(art.metadata),
+        "metadata": _plain(art.metadata),
     }
     if path is not None:
         torch.save(blob, path)

@@ -21,22 +21,56 @@ from vae_latent_geometry_tpu.models.evae import EVAEParams, stack_decoders
 
 
 def _torch_load(path: str):
-    """``torch.load`` restricted to tensors/containers (weights_only=True).
+    """``torch.load`` restricted to data-only content (weights_only=True).
 
     Everything this module reads — reference state_dicts and spline blobs —
     is plain tensors/dicts/lists/primitives, so the restricted unpickler
     suffices and arbitrary-code-execution pickles from an untrusted ``.pt``
-    are rejected instead of executed (this path is reachable from the CLI via
-    ``--splines foo.pt``)."""
+    are rejected instead of executed (this path is reachable from the CLI
+    via ``--splines foo.pt``).  Blobs carrying bare numpy scalars/arrays
+    (older exporters pickled metadata verbatim) get one retry with numpy's
+    reconstruction machinery allowlisted — still data-only.  Full-module
+    pickles are NOT supported; the error says to export a state_dict."""
+    import pickle
+
     import torch  # local import: file-reading only
 
-    return torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except pickle.UnpicklingError as ex:
+        safe = [np.ndarray, np.dtype]
+        for mod in ("numpy._core.multiarray", "numpy.core.multiarray"):
+            try:
+                import importlib
+
+                ma = importlib.import_module(mod)
+                safe += [ma._reconstruct, ma.scalar]
+                break
+            except (ImportError, AttributeError):
+                continue
+        try:
+            from numpy import dtypes as _dtypes
+
+            safe += [getattr(_dtypes, n) for n in dir(_dtypes)
+                     if n.endswith("DType")]
+        except ImportError:
+            pass
+        try:
+            with torch.serialization.safe_globals(safe):
+                return torch.load(path, map_location="cpu",
+                                  weights_only=True)
+        except pickle.UnpicklingError:
+            raise RuntimeError(
+                f"{path} is not loadable under weights_only=True: it "
+                "pickles non-data objects (e.g. a full nn.Module). "
+                "Untrusted pickle code is deliberately never executed "
+                "here — re-export the checkpoint as a state_dict "
+                "(torch.save(model.state_dict(), ...)) or the blob with "
+                "plain tensor/primitive content") from ex
 
 
 def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
     sd = _torch_load(path)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
     return {k: v.detach().numpy() for k, v in sd.items()}
 
 

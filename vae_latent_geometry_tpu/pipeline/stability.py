@@ -63,12 +63,19 @@ def frobenius_comparison(mat_a: np.ndarray, labels_a: Sequence[str],
     )
 
 
-def frobenius_from_json(path_a: str, path_b: str) -> FrobeniusResult:
+def _as_artifact(x) -> dict:
+    """Accept a path to a JSON artifact or an already-parsed dict (callers
+    that validated/parsed the file need not re-read it)."""
+    return x if isinstance(x, dict) else json.loads(Path(x).read_text())
+
+
+def frobenius_from_json(path_a, path_b) -> FrobeniusResult:
     """Compare two distance-matrix JSON artifacts
     ({seed, cluster_ids, distance_matrix} — the reference's
-    ``src/single_decoder/density_batched.py:135-142`` schema)."""
-    da = json.loads(Path(path_a).read_text())
-    db = json.loads(Path(path_b).read_text())
+    ``src/single_decoder/density_batched.py:135-142`` schema).  Each
+    argument is a path or a parsed dict."""
+    da = _as_artifact(path_a)
+    db = _as_artifact(path_b)
 
     def mat(d):
         return np.array([[np.nan if v is None else v for v in row]
@@ -78,10 +85,11 @@ def frobenius_from_json(path_a: str, path_b: str) -> FrobeniusResult:
                                 mat(db), db["cluster_ids"])
 
 
-def check_pair_determinism(path_a: str, path_b: str) -> bool:
-    """True when two pair files agree exactly (representatives + pairs)."""
-    da = json.loads(Path(path_a).read_text())
-    db = json.loads(Path(path_b).read_text())
+def check_pair_determinism(path_a, path_b) -> bool:
+    """True when two pair files agree exactly (representatives + pairs).
+    Each argument is a path or a parsed dict."""
+    da = _as_artifact(path_a)
+    db = _as_artifact(path_b)
     return (da["representatives"] == db["representatives"]
             and [list(p) for p in da["pairs"]] == [list(p) for p in db["pairs"]])
 

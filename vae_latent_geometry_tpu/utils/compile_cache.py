@@ -31,8 +31,11 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     ``VLG_NO_COMPILE_CACHE``.  Must be called before the first compilation
     to benefit that compilation (calling later is harmless).
     """
-    if os.environ.get("VLG_NO_COMPILE_CACHE", "").lower() in (
-            "1", "true", "yes"):
+    # the kill switch trips on ANY value except explicit falsy ones: users
+    # who exported =on / =y / =2 must stay disabled, while =0 / =false
+    # (which read as "do not disable") must NOT silently disable the cache
+    if os.environ.get("VLG_NO_COMPILE_CACHE", "").lower() not in (
+            "", "0", "false", "no"):
         return None
     if cache_dir is None:
         cache_dir = os.environ.get("VLG_COMPILE_CACHE") or os.path.join(
