@@ -389,3 +389,54 @@ def test_stability_pairs_and_frobenius_happy_paths(workdir):
               "--init-type", "euclidean", "--pair-count", "4",
               "--splines", str(opt_path)])
     main(["stability", "frobenius", "--a", str(mat), "--b", str(mat)])
+
+
+def test_optimize_missing_init_hints_sibling_init_type(workdir):
+    """All-defaults flow inherits the reference's init-type skew
+    (init writes euclidean-named artifacts, optimize defaults entropy,
+    src/optimize.py:226): when the entropy artifact is missing but the
+    euclidean sibling exists, the error must say to pass
+    --init-type euclidean instead of a FileNotFoundError traceback."""
+    _ensure_optimized(workdir)  # guarantees the euclidean init artifact
+    with pytest.raises(SystemExit) as e:
+        main(["optimize", "--data-dir", str(workdir / "data"),
+              "--model", "experiment/model_seed5.npz",
+              "--pair-count", "4"])  # --init-type defaults to entropy
+    msg = str(e.value.code)
+    assert "--init-type euclidean" in msg and "entropy" in msg
+
+
+def test_optimize_ep_only_batch_size_uses_derived_dp(workdir, capsys):
+    """--ep alone derives dp = n_devices // ep inside make_mesh; the
+    default batch size must be 200 x that derived dp, not 200 total
+    (code-review r5: ep-only runs silently got 200/dp per device)."""
+    opt_path = _ensure_optimized(workdir)  # noqa: F841 (init artifact dep)
+    main(["optimize", "--data-dir", str(workdir / "data"),
+          "--model", "experiment/model_seed5.npz",
+          "--init-type", "euclidean", "--pair-count", "4",
+          "--steps", "3", "--num-t", "32", "--energy-mode", "expected",
+          "--ep", "2",  # 8 virtual devices -> derived dp = 4
+          "--output", str(workdir / "ep_only_out.npz")])
+    out = capsys.readouterr().out
+    assert "mesh {'dp': 4, 'ep': 2}" in out
+    assert "scaled to 800 (200 per dp device)" in out
+
+
+def test_plot_uncertainty_rejects_single_vae(workdir):
+    dd = str(workdir / "data")
+    if not (workdir / "vae_best_seed3.npz").exists():
+        main(["train-single", "--data-dir", dd, "--epochs", "2",
+              "--seed", "3", "--save-dir", str(workdir)])
+    with pytest.raises(SystemExit) as e:
+        main(["plot", "uncertainty", "--data-dir", dd,
+              "--model", str(workdir / "vae_best_seed3.npz"),
+              "--resolution", "20"])
+    assert "EVAE" in str(e.value.code)
+
+
+def test_empty_reference_blob_raises_clearly():
+    from vae_latent_geometry_tpu.io.artifacts import from_reference_blob
+
+    with pytest.raises(ValueError, match="empty 'spline_data'"):
+        from_reference_blob({"spline_data": [], "representatives": None,
+                             "pairs": None})

@@ -515,6 +515,18 @@ def test_merge_spline_batches_rejects_mismatched_or_unoptimized(toy_problem):
     other = dataclasses.replace(opt, pair_indices=opt.pair_indices + 1)
     with pytest.raises(ValueError, match="same pair set"):
         merge_spline_batches(opt, other)
+    # same pair_indices but different endpoints (e.g. two model seeds over
+    # the same selected pairs): the curves are not interchangeable — the
+    # merged omega would be evaluated against the wrong endpoint nodes
+    other_model = dataclasses.replace(
+        opt, a=np.asarray(opt.a) + 0.1,
+        geodesic_length=np.full(B, 0.5))
+    with pytest.raises(ValueError, match="'a'"):
+        merge_spline_batches(opt, other_model)
+    other_basis = dataclasses.replace(
+        opt, basis=np.asarray(opt.basis) * 2.0)
+    with pytest.raises(ValueError, match="'basis'"):
+        merge_spline_batches(opt, other_basis)
 
 
 def test_backstop_dominates_both_arms(toy_problem):
@@ -655,14 +667,16 @@ def test_backstop_mc_modes_compare_noise_free(toy_problem):
                           energy={"mode": "mc", "num_t": 64})
     merged = optimize_spline_batch_backstop(
         P, art, cfg=primary, backstop_cfg=backstop, log_every_chunk=False)
-    assert '"final_energy_mode": "expected"' in merged.metadata["recipe"]
+    # expected_fused = the same deterministic expectation, via the
+    # memory-flat kernel (falls back to XLA when shapes don't fit)
+    assert '"final_energy_mode": "expected_fused"' in merged.metadata["recipe"]
     r1 = optimize_spline_batch(
         P, art, cfg=dataclasses.replace(primary,
-                                        final_energy_mode="expected"),
+                                        final_energy_mode="expected_fused"),
         log_every_chunk=False)
     r2 = optimize_spline_batch(
         P, art, cfg=dataclasses.replace(backstop,
-                                        final_energy_mode="expected"),
+                                        final_energy_mode="expected_fused"),
         log_every_chunk=False)
     np.testing.assert_array_equal(
         np.asarray(merged.geodesic_length),

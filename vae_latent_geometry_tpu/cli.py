@@ -264,6 +264,32 @@ def fill_optimize_flag_defaults(args) -> None:
             setattr(args, k, v)
 
 
+def _hint_sibling_init(path: str, init_type: str) -> str:
+    """Guided error for the reference's inherited init-type default skew.
+
+    Upstream, ``init_splines_ensemble`` writes a EUCLIDEAN-named blob unless
+    ``--use-entropy`` is passed, while ``optimize`` defaults
+    ``--init-type entropy`` (``src/optimize.py:226``) — this CLI mirrors
+    those defaults for parity, so the all-defaults flow dead-ends on a
+    missing file.  When the convention-derived artifact is absent but the
+    SIBLING init-type's file exists, fail with the one-line fix instead of
+    a FileNotFoundError traceback."""
+    p = Path(path)
+    if p.exists() or p.with_suffix(p.suffix + ".npz").exists() or \
+            Path(str(p) + ".npz").exists():
+        return path
+    other = "euclidean" if init_type == "entropy" else "entropy"
+    sib = Path(str(p).replace(f"_{init_type}_", f"_{other}_"))
+    if sib.exists():
+        raise SystemExit(
+            f"[cli] no {init_type}-init artifact at {p}, but a {other}-init "
+            f"artifact exists at {sib} — pass --init-type {other} (note: "
+            "init-splines writes euclidean-named artifacts unless "
+            "--use-entropy is given; the entropy default on this stage "
+            "mirrors the reference's src/optimize.py:226)")
+    return path  # let load_spline_batch raise its usual missing-file error
+
+
 def resolve_batch_size(batch_size, dp) -> int:
     """Default chunk size: 200 pairs PER data-parallel device.
 
@@ -288,17 +314,28 @@ def cmd_optimize(args):
 
     params = _load_model(args.model)
     model_name = Path(args.model).stem
-    spline_path = args.splines or (
+    spline_path = args.splines or _hint_sibling_init(
         f"experiment/splines_init_{model_name}/"
-        f"spline_batch_init_{args.init_type}_{args.pair_count}.npz")
+        f"spline_batch_init_{args.init_type}_{args.pair_count}.npz",
+        args.init_type)
     art = load_spline_batch(spline_path)
     data = _load_data(args).x if not args.no_euclidean else None
     if args.fast and not args.turbo:
         apply_fast_preset(args)
     fill_optimize_flag_defaults(args)
+    # the mesh must exist before the default batch size is resolved:
+    # --ep alone derives dp = n_devices // ep inside make_mesh, and the
+    # 200-pairs-PER-DEVICE operating point applies to that derived dp too
+    mesh = None
+    if args.dp or args.ep > 1:
+        from vae_latent_geometry_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=args.dp, ep=args.ep)
+        print(f"[info] mesh {dict(mesh.shape)}")
+    dp_eff = mesh.shape["dp"] if mesh is not None else (args.dp or 1)
     if args.batch_size is None:
-        args.batch_size = resolve_batch_size(None, args.dp)
-        if args.dp:
+        args.batch_size = resolve_batch_size(None, dp_eff)
+        if dp_eff > 1:
             print(f"[info] --batch-size not given: scaled to "
                   f"{args.batch_size} (200 per dp device)")
     cfg = GeodesicConfig(
@@ -311,12 +348,6 @@ def cmd_optimize(args):
                             mode=args.energy_mode,
                             kernel_precision=args.kernel_precision),
     )
-    mesh = None
-    if args.dp or args.ep > 1:
-        from vae_latent_geometry_tpu.parallel import make_mesh
-
-        mesh = make_mesh(dp=args.dp, ep=args.ep)
-        print(f"[info] mesh {dict(mesh.shape)}")
     out = Path(args.output or
                f"experiment/splines_opt_{model_name}/"
                f"spline_batch_opt_{args.init_type}_{args.pair_count}.npz")
@@ -365,9 +396,10 @@ def cmd_eval(args):
                 else Path("experiment/plots"))
     plot_dir.mkdir(parents=True, exist_ok=True)
     if args.mode == "matrix":
-        spline_path = (args.splines or
-                       f"experiment/splines_opt_model_seed{args.seed}/"
-                       f"spline_batch_opt_{args.init_type}_{args.pair_count}.npz")
+        spline_path = args.splines or _hint_sibling_init(
+            f"experiment/splines_opt_model_seed{args.seed}/"
+            f"spline_batch_opt_{args.init_type}_{args.pair_count}.npz",
+            args.init_type)
         art = load_spline_batch(spline_path)
         mat, labels = distance_matrix(art, args.len_type)
         out_json = Path(args.output) if args.output else plot_dir / (
@@ -454,6 +486,12 @@ def cmd_plot(args):
         plotting.plot_latent_density_with_splines(
             latents, data.labels, art, out, res=args.resolution)
     elif args.kind == "uncertainty":
+        if not hasattr(params, "decoders"):
+            raise SystemExit(
+                "plot uncertainty maps ENSEMBLE decoder disagreement and "
+                f"needs an EVAE checkpoint; {args.model} loaded as "
+                f"{type(params).__name__} (a single-decoder model has no "
+                "disagreement to map)")
         plotting.plot_uncertainty_map(params, latents, out,
                                       colors=data.colors,
                                       resolution=args.resolution)

@@ -157,6 +157,13 @@ def from_reference_blob(blob: dict) -> SplineBatchArtifact:
     """Convert a loaded reference .pt blob (``torch_import.load_spline_blob``)
     into the columnar artifact."""
     data = blob["spline_data"]
+    if not data:
+        # every per-pair field incl. basis/n_poly lives inside spline_data
+        # entries, so an empty list is unconvertible — say so instead of
+        # dying on data[0] below (truncated/partial exports happen)
+        raise ValueError(
+            "reference blob has an empty 'spline_data' list — nothing to "
+            "convert (truncated or partial export?)")
     reps = blob.get("representatives") or []
 
     def col(key, default=None):

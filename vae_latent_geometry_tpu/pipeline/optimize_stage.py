@@ -391,6 +391,22 @@ def merge_spline_batches(primary: SplineBatchArtifact,
     if l1.shape != l2.shape or not np.array_equal(
             np.asarray(primary.pair_indices), np.asarray(secondary.pair_indices)):
         raise ValueError("merge requires artifacts over the same pair set")
+    # pair_indices alone do not pin the PROBLEM: two runs over the same
+    # selected pairs but different models/latents have different endpoint
+    # nodes (a, b) and possibly basis — merging would pair one run's omega
+    # with the other run's endpoints, producing curves that reproduce
+    # neither run's stored lengths.  Endpoints/basis come from the same
+    # pipeline in a legitimate merge, so exact equality is the contract.
+    for name in ("a", "b", "basis"):
+        if not np.array_equal(np.asarray(getattr(primary, name)),
+                              np.asarray(getattr(secondary, name))):
+            raise ValueError(
+                f"merge requires identical '{name}' arrays: the two "
+                "artifacts were produced from different endpoint latents "
+                "or spline bases (e.g. different model seeds), so their "
+                "curves are not interchangeable")
+    if primary.n_poly != secondary.n_poly:
+        raise ValueError("merge requires identical n_poly")
     take2 = np.where(np.isnan(l1), np.isfinite(l2),
                      np.isfinite(l2) & (l2 < l1))
     omega = np.where(take2[:, None, None],
@@ -438,12 +454,15 @@ def optimize_spline_batch_backstop(
     re-evaluates under different decoder draws), so a per-pair ``l2 < l1``
     merge at noise scale would pick the noise-favored curve and void the
     guarantee.  For those modes both arms' final re-evaluation is switched
-    to the deterministic ``expected`` closed form — exactly
-    E[energy_mc] over decoder draws — so the comparison (and the stored
-    lengths) are noise-free and the guarantee is exact; the optimization
-    trajectories still run under the configured MC estimator.  An
-    explicitly-set stochastic ``final_energy_mode`` is respected but warned
-    about.
+    to the deterministic expected closed form — exactly E[energy_mc] over
+    decoder draws — via ``expected_fused`` (float32 in the final eval, the
+    memory-flat kernel; it falls back to the XLA path when shapes don't
+    fit ``fused_fits``, rather than ALWAYS materializing the (M, T, B, X)
+    decode the fused trajectory was designed to avoid).  The comparison
+    (and the stored lengths) are then noise-free and the guarantee exact;
+    the optimization trajectories still run under the configured MC
+    estimator.  An explicitly-set stochastic ``final_energy_mode`` is
+    respected but warned about.
     """
     def _denoised(c: GeodesicConfig) -> GeodesicConfig:
         final = (c.final_energy_mode or c.energy.mode).removesuffix("_bf16")
@@ -459,7 +478,7 @@ def optimize_spline_batch_backstop(
                 "in distribution — drop final_energy_mode to compare on "
                 "the exact expectation instead", stacklevel=3)
             return c
-        return dataclasses.replace(c, final_energy_mode="expected")
+        return dataclasses.replace(c, final_energy_mode="expected_fused")
 
     cfg, backstop_cfg = _denoised(cfg), _denoised(backstop_cfg)
     ck1 = ck2 = None
