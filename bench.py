@@ -202,13 +202,20 @@ def mfu_report(ladder: dict) -> dict:
     mfu_model = model_flops * steps_per_sec / peak;  mfu_mxu likewise with
     pass-FLOPs — mfu_mxu is the fraction of the MXU's cycles this program
     keeps busy; mfu_model is how much of that busyness is useful math.
+
+    Trajectory steps run GRAD-ONLY by default (EnergyConfig.gradonly_traj:
+    the forward kernel is skipped; the backward recomputes activations from
+    the inputs), so one step = activation recompute (n_pass) + cotangent
+    chain — there is no separate forward decode.  Both accountings reflect
+    that: a perfect compiler computing just the gradient also needs
+    recompute + chain = 2x one forward's FLOPs.
     """
     pts = T * B
     # one decoder forward, logical: 2->128 (VPU), 128->128, 128->50
     l1, l2, l3 = 2 * 2 * 128, 2 * 128 * 128, 2 * 128 * 50
     fwd_model = M_DEC * pts * (l1 + l2 + l3)
-    # backward = activation recompute (fwd again) + transpose chain
-    model_per_step = 3 * fwd_model
+    # grad-only step = activation recompute (fwd FLOPs) + transpose chain
+    model_per_step = 2 * fwd_model
 
     l3_pad = 2 * 128 * 128                   # X=50 -> 128 output lanes
     mxu_dots = M_DEC * pts * (l2 + l3_pad)   # per single-pass decode
@@ -216,7 +223,9 @@ def mfu_report(ladder: dict) -> dict:
 
     peak, kind = _chip_peak_tflops()
     out = {"model_gflops_per_step": round(model_per_step / 1e9, 1),
-           "chip": kind, "peak_bf16_tflops": peak, "rungs": {}}
+           "chip": kind, "peak_bf16_tflops": peak,
+           "step_model": "gradonly_traj: bwd recompute + chain, no fwd",
+           "rungs": {}}
     if peak is None:
         return out
     for name, sps in ladder.items():
@@ -228,8 +237,8 @@ def mfu_report(ladder: dict) -> dict:
                 prec = p
         n_pass = passes[prec]
         chain_pass = 1 if prec in ("f32x3", "f32x2") else n_pass
-        # fwd decode + bwd recompute at n_pass; cotangent chain single-pass
-        mxu_per_step = mxu_dots * (2 * n_pass + chain_pass)
+        # bwd recompute at n_pass + cotangent chain; no forward decode
+        mxu_per_step = mxu_dots * (n_pass + chain_pass)
         out["rungs"][name] = {
             "mfu_model": round(model_per_step * sps / (peak * 1e12), 4),
             "mfu_mxu": round(mxu_per_step * sps / (peak * 1e12), 4),

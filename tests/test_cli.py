@@ -398,6 +398,13 @@ def test_optimize_missing_init_hints_sibling_init_type(workdir):
     euclidean sibling exists, the error must say to pass
     --init-type euclidean instead of a FileNotFoundError traceback."""
     _ensure_optimized(workdir)  # guarantees the euclidean init artifact
+    # establish the test's own precondition: the entropy artifact must be
+    # MISSING, but test_cli_entropy_init (same module-scoped workdir)
+    # creates it when the whole file runs in order
+    entropy_art = (workdir / "experiment" / "splines_init_model_seed5" /
+                   "spline_batch_init_entropy_4.npz")
+    if entropy_art.exists():
+        entropy_art.unlink()
     with pytest.raises(SystemExit) as e:
         main(["optimize", "--data-dir", str(workdir / "data"),
               "--model", "experiment/model_seed5.npz",

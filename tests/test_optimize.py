@@ -729,3 +729,74 @@ def test_resume_refuses_checkpoint_from_different_inputs(toy_problem,
     fresh = optimize_spline_batch(dec, art2, cfg=cfg, log_every_chunk=False)
     np.testing.assert_array_equal(np.asarray(res2.geodesic_length),
                                   np.asarray(fresh.geodesic_length))
+
+
+def test_gradonly_traj_identical_trajectory(toy_problem, rng):
+    """The grad-only trajectory path (skip the fused fwd kernel on steps
+    whose energy value is discarded) must produce the SAME optimization as
+    the value-computing path: gradients are defined by the same backward
+    kernel either way (its residuals are the inputs alone)."""
+    key = jax.random.PRNGKey(21)
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 12, (24,)) for k in jax.random.split(key, 3)
+    ])
+    B = 3
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    basis, _ = nullspace_basis(4)
+    omega0 = jnp.zeros((B, basis.shape[1], 2))
+
+    for mode in ("expected_fused", "mc_fused"):
+        cfg_on = _small_cfg(steps=40, energy={
+            "mode": mode, "num_t": 32, "mc_inkernel_rng": False})
+        cfg_off = dataclasses.replace(cfg_on, energy=dataclasses.replace(
+            cfg_on.energy, gradonly_traj=False))
+        # num_active exercises the CoV path's per-spline weight plane
+        # through the grad-only branch as well
+        num_active = np.array([1, 2, 3])
+        r_on = optimize_splines(decs, omega0, a, b, basis, cfg_on,
+                                key=jax.random.PRNGKey(5),
+                                num_active=num_active)
+        r_off = optimize_splines(decs, omega0, a, b, basis, cfg_off,
+                                 key=jax.random.PRNGKey(5),
+                                 num_active=num_active)
+        np.testing.assert_allclose(np.asarray(r_on.omega),
+                                   np.asarray(r_off.omega),
+                                   rtol=0, atol=1e-6, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(r_on.energy),
+                                   np.asarray(r_off.energy),
+                                   rtol=1e-6, err_msg=mode)
+
+
+def test_gradonly_grad_bitwise_matches_value_path(toy_problem, rng):
+    """Point check: jax.grad through the grad-only loss equals the
+    value_and_grad gradient exactly (same backward kernel, same residuals)
+    for every fused family, including the single-decoder fast path."""
+    from vae_latent_geometry_tpu.optim.geodesic import make_loss_fn
+
+    key = jax.random.PRNGKey(22)
+    decs = stack_decoders([
+        nets.decoder_init(k, 2, 12, (24,)) for k in jax.random.split(key, 3)
+    ])
+    single = nets.decoder_init(jax.random.PRNGKey(23), 2, 12, (24,))
+    B = 3
+    a = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, 2)), jnp.float32)
+    basis, _ = nullspace_basis(4)
+    omega = jnp.asarray(rng.normal(size=(B, basis.shape[1], 2)) * 0.05,
+                        jnp.float32)
+    for mode, dec in (("expected_fused", decs), ("mc_fused", decs),
+                      ("single_fused", single)):
+        cfg = _small_cfg(energy={"mode": mode, "num_t": 32,
+                                 "mc_inkernel_rng": False})
+        k = jax.random.PRNGKey(9)
+        gv, ev = jax.grad(make_loss_fn(dec, basis, cfg, grad_only=False),
+                          has_aux=True)(omega, a, b, k, None)
+        gg, eg = jax.grad(make_loss_fn(dec, basis, cfg, grad_only=True),
+                          has_aux=True)(omega, a, b, k, None)
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(gg),
+                                      err_msg=mode)
+        # the grad-only primal is zeros by contract (value must not be read)
+        np.testing.assert_array_equal(np.asarray(eg), np.zeros(B),
+                                      err_msg=mode)
+        assert np.all(np.asarray(ev) > 0), mode

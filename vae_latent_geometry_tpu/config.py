@@ -78,6 +78,19 @@ class EnergyConfig:
     # sharded); the optimizer psums omega gradients over it.  Only
     # meaningful inside shard_map — parallel/shard.py sets it.
     ep_axis: Optional[str] = None
+    # Skip the fused FORWARD kernel on trajectory steps whose energy value
+    # is discarded (the production Adam scan without history recording):
+    # the fused kernels' backward recomputes activations from the inputs
+    # alone, so gradients are bit-identical with or without the forward
+    # pass.  Measured (experiment/gradonly_probe.json): XLA was ALREADY
+    # dead-code-eliminating the unused forward pallas-call, so this is
+    # perf-neutral today — the flag makes the value-free contract explicit
+    # in the traced program instead of relying on XLA DCE of custom-calls,
+    # and pins the honest per-step pass model (n_pass + chain, no fwd)
+    # that bench.py's MFU accounting uses.  Final energies are always
+    # re-evaluated exactly regardless.  Set False to force the
+    # value-computing path.
+    gradonly_traj: bool = True
 
 
 @dataclass(frozen=True)

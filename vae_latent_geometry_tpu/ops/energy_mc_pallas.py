@@ -34,8 +34,9 @@ except Exception:  # pragma: no cover
 
 from vae_latent_geometry_tpu.ops.energy_pallas import (
     PRECISIONS,
-    _backprop_chain,
+    _backprop_chain_masked,
     _cast_ws,
+    _center_masks,
     _compiler_params,
     _first_layer,
     _prep_ws_m,
@@ -291,10 +292,19 @@ def _bwd_kernel_rng(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
             dd2_3.append(w2[7:7 + Tc + 1][:, :, None] * ones_x)
             dcur_3.append(w1[8:8 + Tc][:, :, None] * ones_x)
             dprev_3.append(w2[7:7 + Tc][:, :, None] * ones_x)
+        # pass 1 — the ONLY decode per decoder: gather the selected
+        # endpoints AND keep each decoder's hidden-layer ReLU masks (bf16,
+        # center rows) for the chain; pass 2 re-evaluates only the first
+        # (VPU, MXU-free) layer — no tail-layer MXU recompute (see
+        # energy_pallas._bwd_kernel; measured in
+        # experiment/bwd_single_decode_probe.json)
+        masks_c = []
         for m in range(M):
             h1 = _first_layer(halo_planes, ws[0][m], bs[0][m], dtype)
-            xa = _tail_layers(h1, ws, bs, m, dtype,
-                              wpairs=wp[m]).reshape(Tc + 2, B, X)
+            xa_2d, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
+                                       wpairs=wp[m])
+            xa = xa_2d.reshape(Tc + 2, B, X)
+            masks_c.append(_center_masks(acts, Tc, B))
             fm = jnp.float32(m)
             for s in range(S):
                 x1s[s] = x1s[s] + jnp.where(dd1_3[s] == fm, xa[0:Tc + 1], 0.0)
@@ -316,12 +326,10 @@ def _bwd_kernel_rng(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
             dx = dx * scale
 
             h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
-            _, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
-                                   wpairs=wp[m])
             # shared cotangent chain (single source of the rung policy:
             # single-pass under the reduced rungs — docs/NUMERICS.md)
-            _backprop_chain(dx, h1, acts, ws, wp[m], dtype, Tc, B,
-                            n_layers, dgs)
+            _backprop_chain_masked(dx, [(h1 > 0.0)] + masks_c[m], wp[m],
+                                   dtype, Tc, B, n_layers, dgs)
         for d in range(D):
             dg_refs[d][pl.ds(start, Tc), :] = dgs[d]
         for s in range(S):
@@ -438,6 +446,30 @@ def _bwd_rule_rng(mc_samples, precision, res, ct):
 
 
 energy_mc_fused_rng.defvjp(_fwd_rule_rng, _bwd_rule_rng)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def energy_mc_fused_rng_grad(decoders, gamma, seed, kmax,
+                             mc_samples: int = 2,
+                             precision: str = "float32"):
+    """GRADIENT-ONLY variant of :func:`energy_mc_fused_rng`: zero primal,
+    identical backward (the bwd kernel redraws the same in-kernel decoder
+    indices from ``seed`` and recomputes activations — the forward kernel
+    contributes nothing to the gradient).  Use only where the energy value
+    is discarded; see ``energy_pallas.energy_expected_fused_grad``."""
+    if precision not in PRECISIONS:
+        raise ValueError(f"unknown kernel precision {precision!r}")
+    return jnp.zeros((gamma.shape[1],), jnp.float32)
+
+
+def _gradonly_fwd_rng(decoders, gamma, seed, kmax, mc_samples, precision):
+    if precision not in PRECISIONS:
+        raise ValueError(f"unknown kernel precision {precision!r}")
+    return (jnp.zeros((gamma.shape[1],), jnp.float32),
+            (decoders, gamma, seed, kmax))
+
+
+energy_mc_fused_rng_grad.defvjp(_gradonly_fwd_rng, _bwd_rule_rng)
 
 
 def _fwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
@@ -565,10 +597,16 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
                          * ones_x)
             dd2_3.append(w2[0:Tc + 1, :].astype(jnp.float32)[:, :, None]
                          * ones_x)
+        # pass 1 — the ONLY decode per decoder (see energy_pallas
+        # _bwd_kernel): gather selected endpoints + keep hidden-layer ReLU
+        # masks (bf16, center rows) for the chain
+        masks_c = []
         for m in range(M):
             h1 = _first_layer(halo_planes, ws[0][m], bs[0][m], dtype)
-            xa = _tail_layers(h1, ws, bs, m, dtype,
-                              wpairs=wp[m]).reshape(Tc + 2, B, X)
+            xa_2d, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
+                                       wpairs=wp[m])
+            xa = xa_2d.reshape(Tc + 2, B, X)
+            masks_c.append(_center_masks(acts, Tc, B))
             fm = jnp.float32(m)
             for s in range(S):
                 x1s[s] = x1s[s] + jnp.where(dd1_3[s] == fm, xa[0:Tc + 1], 0.0)
@@ -599,12 +637,10 @@ def _bwd_kernel(*refs, T, B, D, X, M, S, Tc, n_layers, dtype):
             dx = dx * scale
 
             h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
-            _, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
-                                   wpairs=wp[m])
             # shared cotangent chain (single source of the rung policy:
             # single-pass under the reduced rungs — docs/NUMERICS.md)
-            _backprop_chain(dx, h1, acts, ws, wp[m], dtype, Tc, B,
-                            n_layers, dgs)
+            _backprop_chain_masked(dx, [(h1 > 0.0)] + masks_c[m], wp[m],
+                                   dtype, Tc, B, n_layers, dgs)
         for d in range(D):
             dg_refs[d][pl.ds(start, Tc), :] = dgs[d]
         return 0
@@ -733,3 +769,25 @@ def _bwd_rule(precision, res, ct):
 
 
 energy_mc_fused.defvjp(_fwd_rule, _bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def energy_mc_fused_grad(decoders, gamma, d1, d2,
+                         precision: str = "float32"):
+    """GRADIENT-ONLY variant of :func:`energy_mc_fused`: zero primal,
+    identical backward (the bwd kernel gathers the same host-generated
+    index planes and recomputes activations).  Use only where the energy
+    value is discarded; see ``energy_pallas.energy_expected_fused_grad``."""
+    if precision not in PRECISIONS:
+        raise ValueError(f"unknown kernel precision {precision!r}")
+    return jnp.zeros((gamma.shape[1],), jnp.float32)
+
+
+def _gradonly_fwd(decoders, gamma, d1, d2, precision):
+    if precision not in PRECISIONS:
+        raise ValueError(f"unknown kernel precision {precision!r}")
+    return (jnp.zeros((gamma.shape[1],), jnp.float32),
+            (decoders, gamma, d1, d2))
+
+
+energy_mc_fused_grad.defvjp(_gradonly_fwd, _bwd_rule)

@@ -345,10 +345,24 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
         halo_planes = [w[0:Tc + 2, :] for w in wins]
         center_planes = [w[1:Tc + 1, :] for w in wins]
 
+        # pass 1 — the ONLY decode: accumulate xbar over halo rows and keep
+        # each decoder's center-row output (f32, needed by dx) plus its
+        # hidden-layer ReLU masks (bf16).  Pass 2 then re-evaluates only the
+        # first (VPU, MXU-free) layer per decoder — the tail-layer MXU
+        # recompute of the previous design is gone, cutting the kernel from
+        # 2*n_pass+chain to n_pass+chain passes per dot (measured 1.43-1.50x
+        # on the expected kernel, 1.08-1.24x on the VPU-heavier MC kernels;
+        # experiment/bwd_single_decode_probe.json).
         xbar = jnp.zeros((Tc + 2, B, X), jnp.float32)
+        xs_c, masks_c = [], []
         for m in range(M):
-            xm = _decode_planes(halo_planes, ws, bs, m, dtype, wp[m])
-            xbar = xbar + wmb[m, :][None, :, None] * xm.reshape(Tc + 2, B, X)
+            h1 = _first_layer(halo_planes, ws[0][m], bs[0][m], dtype)
+            x, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
+                                   wpairs=wp[m])
+            x3 = x.reshape(Tc + 2, B, X)
+            xbar = xbar + wmb[m, :][None, :, None] * x3
+            xs_c.append(x3[1:Tc + 1])
+            masks_c.append(_center_masks(acts, Tc, B))
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (Tc, 1), 0) + c * Tc
         has_left = (row_ids > 0).astype(jnp.float32)      # (Tc, 1)
@@ -361,13 +375,10 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
         for m in range(M):
             # dE/dx_{m,t} = 2 w_{m,b} ct_b (c_coeff x_{m,t} - xbar_{t-1} - xbar_{t+1})
             scale = 2.0 * (wmb[m, :] * ct)[None, :, None]  # (1, B, 1)
+            dx = scale * (c_coeff * xs_c[m] - left - right)  # (Tc, B, X)
             h1 = _first_layer(center_planes, ws[0][m], bs[0][m], dtype)
-            x, acts = _tail_layers(h1, ws, bs, m, dtype, keep_acts=True,
-                                   wpairs=wp[m])
-            x3 = x.reshape(Tc, B, X)
-            dx = scale * (c_coeff * x3 - left - right)    # (Tc, B, X)
-            _backprop_chain(dx, h1, acts, ws, wp[m], dtype, Tc, B,
-                            n_layers, dgs)
+            _backprop_chain_masked(dx, [(h1 > 0.0)] + masks_c[m], wp[m],
+                                   dtype, Tc, B, n_layers, dgs)
         for d in range(D):
             dg_refs[d][pl.ds(start, Tc), :] = dgs[d]
         return 0
@@ -381,16 +392,42 @@ def _backprop_chain(dx, h1, acts, ws, wp_m, dtype, Tc, B, n_layers, dgs):
     accumulators ``dgs`` (in place on the Python list).  The cotangent chain
     is difference-valued, so bf16 rounding is RELATIVE to the gradient
     itself — single-pass under the reduced rungs (docs/NUMERICS.md)."""
+    masks = [(h1 > 0.0)] + [(a > 0.0) for a in acts]
+    _backprop_chain_masked(dx, masks, wp_m, dtype, Tc, B, n_layers, dgs)
+
+
+def _backprop_chain_masked(dx, masks, wp_m, dtype, Tc, B, n_layers, dgs):
+    """Cotangent chain from precomputed ReLU masks (``masks[i-1]`` gates
+    layer i's input activation, i = 1..n_layers-1; masks may be bool or
+    bf16 {0,1} planes).  This is the single-decode backward's chain: the
+    masks come from the SAME decode that produced the forward quantities
+    (saved in pass 1), so no tail-layer recompute happens here — only the
+    first (VPU) layer is re-evaluated by the caller.  Bit-identical to
+    :func:`_backprop_chain` with acts from a fresh recompute, at n_pass
+    fewer MXU passes per dot."""
     chain_prec = "bfloat16" if dtype in ("f32x3", "f32x2") else dtype
     dh = dx.reshape(Tc * B, dx.shape[-1])
     for i in range(n_layers - 1, 0, -1):
         dh = _mp_dot(dh, wp_m[i], chain_prec, transpose=True)
-        act = acts[i - 2] if i >= 2 else h1
-        dh = dh * (act > 0.0)
-    dh3 = dh.reshape(Tc, B, ws[0].shape[-1])
+        dh = dh * masks[i - 1]
+    dh3 = dh.reshape(Tc, B, dh.shape[-1])
     for d in range(len(dgs)):
         w1d = wp_m[0][d]                      # (H1,) f32 row of W1
         dgs[d] = dgs[d] + jnp.sum(dh3 * w1d[None, None, :], axis=-1)
+
+
+def _center_masks(acts, Tc, B):
+    """Center-row ReLU masks (bf16 {0,1}) from halo-row activations: each
+    act is ((Tc+2)*B, H) from the pass-1 decode; the chain needs rows
+    1..Tc — a contiguous [B:(Tc+1)*B) block of the row-major layout, taken
+    via the established 3D slice-reshape (lane dim preserved)."""
+    out = []
+    for a in acts:
+        h = a.shape[-1]
+        a3 = a.reshape(Tc + 2, B, h)
+        out.append((a3[1:Tc + 1].reshape(Tc * B, h) > 0.0)
+                   .astype(jnp.bfloat16))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -956,3 +993,48 @@ def _bwd_rule(precision, res, ct):
 
 
 _energy_expected_fused_vjp.defvjp(_fwd_rule, _bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _energy_expected_fused_gradonly(decoders, gamma, wmb, precision: str):
+    if precision not in PRECISIONS:
+        raise ValueError(f"unknown kernel precision {precision!r}")
+    return jnp.zeros((gamma.shape[1],), jnp.float32)
+
+
+def _gradonly_fwd(decoders, gamma, wmb, precision):
+    if precision not in PRECISIONS:
+        raise ValueError(f"unknown kernel precision {precision!r}")
+    return (jnp.zeros((gamma.shape[1],), jnp.float32),
+            (decoders, gamma, wmb))
+
+
+# identical backward rule to the real kernel: the residuals are the INPUTS
+# (the bwd kernel recomputes activations itself), so the gradient is the
+# same whether or not the forward kernel ran
+_energy_expected_fused_gradonly.defvjp(_gradonly_fwd, _bwd_rule)
+
+
+def energy_expected_fused_grad(decoders, gamma, wmb=None,
+                               precision: str = "float32"):
+    """GRADIENT-ONLY variant of :func:`energy_expected_fused`.
+
+    Returns per-spline ZEROS as the primal value but carries the exact same
+    custom VJP as the real kernel — differentiating a ``sum`` of this output
+    w.r.t. ``gamma`` yields the true energy gradient while the forward
+    decode kernel is never launched (the backward kernel recomputes
+    activations from the inputs alone; the forward pass contributes nothing
+    to the gradient).  Perf-neutral in the production scan — XLA already
+    DCE's the dead forward custom-call (experiment/gradonly_probe.json) —
+    but makes the value-free contract explicit rather than relying on DCE,
+    and defines the honest per-step pass model (n_pass + chain, no fwd).
+
+    USE ONLY where the energy VALUE is discarded — the production Adam scan
+    with ``record_history=False`` (``optim.geodesic``), whose final
+    energies are re-evaluated exactly afterward.  Anywhere the value is
+    read, use :func:`energy_expected_fused`.
+    """
+    decoders = jax.lax.stop_gradient(decoders)
+    if wmb is not None:
+        wmb = jax.lax.stop_gradient(wmb)
+    return _energy_expected_fused_gradonly(decoders, gamma, wmb, precision)

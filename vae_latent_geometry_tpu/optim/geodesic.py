@@ -63,7 +63,7 @@ class GeodesicResult(NamedTuple):
 def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
                num_active=None, kernel_precision: str = "f32x3",
                ep_axis=None, mc_inkernel_rng: bool = True,
-               target_num_t=None):
+               target_num_t=None, grad_only: bool = False):
     if mode == "single":
         return energy_lib.energy_single(decoders, gamma)
     if mode in ("single_fused", "single_fused_bf16"):
@@ -73,6 +73,7 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
         # (src/single_decoder/optimize_energy_batched.py:132)
         from vae_latent_geometry_tpu.ops.energy_pallas import (
             energy_expected_fused,
+            energy_expected_fused_grad,
             fused_fits,
         )
 
@@ -83,7 +84,8 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
             _warn_fallback(mode, T, B, D, X, 1)
             return energy_lib.energy_single(decoders, gamma)
         precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
-        return energy_expected_fused(stacked, gamma, None, precision)
+        fn = energy_expected_fused_grad if grad_only else energy_expected_fused
+        return fn(stacked, gamma, None, precision)
     if mode == "mc":
         return energy_lib.energy_mc(decoders, gamma, key, mc_samples,
                                     num_active)
@@ -93,7 +95,9 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
     if mode in ("mc_fused", "mc_fused_bf16"):
         from vae_latent_geometry_tpu.ops.energy_mc_pallas import (
             energy_mc_fused,
+            energy_mc_fused_grad,
             energy_mc_fused_rng,
+            energy_mc_fused_rng_grad,
             sample_decoder_indices,
         )
         from vae_latent_geometry_tpu.ops.energy_pallas import (
@@ -118,12 +122,14 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
             kmax = (jnp.broadcast_to(jnp.asarray(num_active), (B,))
                     if num_active is not None
                     else jnp.full((B,), m_dec)).astype(jnp.float32)
-            return energy_mc_fused_rng(decoders, gamma, seed,
-                                       kmax.reshape(1, B), mc_samples,
-                                       precision)
+            fn = (energy_mc_fused_rng_grad if grad_only
+                  else energy_mc_fused_rng)
+            return fn(decoders, gamma, seed, kmax.reshape(1, B), mc_samples,
+                      precision)
         d1, d2 = sample_decoder_indices(key, T, B, m_dec, mc_samples,
                                         num_active)
-        return energy_mc_fused(decoders, gamma, d1, d2, precision)
+        fn = energy_mc_fused_grad if grad_only else energy_mc_fused
+        return fn(decoders, gamma, d1, d2, precision)
     if mode == "expected":
         return energy_lib.energy_expected(decoders, gamma, num_active)
     if mode in ("expected_fused", "expected_fused_bf16"):
@@ -169,6 +175,14 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
             _warn_fallback(mode, T, B, D, X, m_dec)
             return energy_lib.energy_expected(decoders, gamma, num_active)
         precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
+        if grad_only:
+            from vae_latent_geometry_tpu.ops.energy_pallas import (
+                energy_expected_fused_grad,
+            )
+
+            wmb = (active_weights(num_active, m_dec, B)
+                   if num_active is not None else None)
+            return energy_expected_fused_grad(decoders, gamma, wmb, precision)
         # NOTE a transposed-layout variant (features on sublanes, points on
         # lanes; ops/_research/energy_pallas_t.py) removes the X=50->128
         # lane-padding
@@ -201,11 +215,20 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
     raise ValueError(f"unknown energy mode {mode!r}")
 
 
-def make_loss_fn(decoders, basis, cfg: GeodesicConfig) -> Callable:
+def make_loss_fn(decoders, basis, cfg: GeodesicConfig,
+                 grad_only: bool = False) -> Callable:
     """Build loss(omega, a, b, key) -> (scalar_loss, per_spline_energy).
 
     ``decoders`` is a stacked ensemble pytree for ensemble modes, or a single
     decoder pytree for mode='single'/'jvp'.
+
+    ``grad_only=True`` builds a loss whose GRADIENT is identical but whose
+    fused-mode energy VALUES are zeros — the forward decode kernel is never
+    launched (its output contributes nothing to the gradient: the fused
+    backward recomputes activations from the inputs).  Only the fused modes
+    change; XLA modes compute the value as a byproduct of autodiff anyway.
+    Use under ``jax.grad`` where the value is discarded, never where it is
+    read.
     """
     e_cfg = cfg.energy
     t = jnp.linspace(0.0, 1.0, e_cfg.num_t)
@@ -224,7 +247,7 @@ def make_loss_fn(decoders, basis, cfg: GeodesicConfig) -> Callable:
         e = _energy_fn(e_cfg.mode, decoders, gamma, gamma_dot, key,
                        e_cfg.mc_samples, num_active, e_cfg.kernel_precision,
                        e_cfg.ep_axis, e_cfg.mc_inkernel_rng,
-                       e_cfg.target_num_t)
+                       e_cfg.target_num_t, grad_only)
         # endpoint penalty (reference src/optimize.py:158-160): exactly zero
         # in exact arithmetic because the basis enforces offset(1)=0, kept for
         # faithful gradients under float32.
@@ -351,15 +374,29 @@ def _optimize_scan(decoders, omega0, a, b, basis, key,
     omega = omega0
     hists = []
     for i, pcfg in enumerate(_phase_cfgs(cfg)):
-        loss_fn = make_loss_fn(decoders, basis, pcfg)
+        # trajectory steps discard the energy value (final energies are
+        # re-evaluated exactly below), so by default the fused modes skip
+        # their forward kernel entirely — bit-identical gradients (the bwd
+        # kernel's residuals are the inputs alone).  Perf-neutral in
+        # practice (XLA already DCE'd the dead fwd call — experiment/
+        # gradonly_probe.json) but makes the contract explicit.  History
+        # recording needs the per-step values, so it keeps the value path.
+        grad_only = cfg.energy.gradonly_traj and not record_history
+        loss_fn = make_loss_fn(decoders, basis, pcfg, grad_only=grad_only)
         opt = _make_opt(pcfg)
         opt_state = opt.init(omega)
 
         def step(carry, step_key, loss_fn=loss_fn, opt=opt):
             omega, opt_state = carry
-            (loss, e), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                omega, a, b, step_key, num_active
-            )
+            if record_history:
+                (_, e), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    omega, a, b, step_key, num_active
+                )
+            else:
+                grads, _ = jax.grad(loss_fn, has_aux=True)(
+                    omega, a, b, step_key, num_active
+                )
+                e = None
             if cfg.energy.ep_axis is not None:
                 # each ep shard's gradient covers only its decoder subset's
                 # energy contribution; the true gradient of the (replicated)
@@ -367,7 +404,7 @@ def _optimize_scan(decoders, omega0, a, b, basis, key,
                 grads = jax.lax.psum(grads, cfg.energy.ep_axis)
             updates, opt_state = opt.update(grads, opt_state, omega)
             omega = optax.apply_updates(omega, updates)
-            return (omega, opt_state), (e if record_history else None)
+            return (omega, opt_state), e
 
         # phase 0 consumes the caller's key stream exactly as the
         # single-phase loop always has (bit-compatible MC trajectories);
