@@ -88,8 +88,11 @@ class EnergyConfig:
     # in the traced program instead of relying on XLA DCE of custom-calls,
     # and pins the honest per-step pass model (n_pass + chain, no fwd)
     # that bench.py's MFU accounting uses.  Final energies are always
-    # re-evaluated exactly regardless.  Set False to force the
-    # value-computing path.
+    # re-evaluated exactly regardless.  Applies to the fixed-budget scan
+    # optimizer only: paths that consume per-step energy values — history
+    # recording, and the early-stopping optimizer's best/patience tracking
+    # — necessarily keep the value-computing forward.  Set False to force
+    # the value-computing path everywhere.
     gradonly_traj: bool = True
 
 

@@ -34,6 +34,7 @@ except Exception:  # pragma: no cover
 
 from vae_latent_geometry_tpu.ops.energy_pallas import (
     PRECISIONS,
+    check_precision,
     _backprop_chain_masked,
     _cast_ws,
     _center_masks,
@@ -406,8 +407,7 @@ def energy_mc_fused_rng(decoders, gamma, seed, kmax, mc_samples: int = 2,
 
 def _fwd_impl_rng(decoders, gamma, seed, kmax, mc_samples, precision):
     T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _common(decoders, gamma)
-    if precision not in PRECISIONS:
-        raise ValueError(f"unknown kernel precision {precision!r}")
+    check_precision(precision)
     ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     gamma_p = _pad_b(gamma, B_pad, axis=1)
     kmax_p = _pad_b(jnp.asarray(kmax, jnp.float32).reshape(1, B), B_pad,
@@ -457,14 +457,12 @@ def energy_mc_fused_rng_grad(decoders, gamma, seed, kmax,
     indices from ``seed`` and recomputes activations — the forward kernel
     contributes nothing to the gradient).  Use only where the energy value
     is discarded; see ``energy_pallas.energy_expected_fused_grad``."""
-    if precision not in PRECISIONS:
-        raise ValueError(f"unknown kernel precision {precision!r}")
+    check_precision(precision)
     return jnp.zeros((gamma.shape[1],), jnp.float32)
 
 
 def _gradonly_fwd_rng(decoders, gamma, seed, kmax, mc_samples, precision):
-    if precision not in PRECISIONS:
-        raise ValueError(f"unknown kernel precision {precision!r}")
+    check_precision(precision)
     return (jnp.zeros((gamma.shape[1],), jnp.float32),
             (decoders, gamma, seed, kmax))
 
@@ -727,8 +725,7 @@ def _common(decoders, gamma):
 def _fwd_impl(decoders, gamma, d1, d2, precision):
     T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _common(decoders, gamma)
     S = d1.shape[0]
-    if precision not in PRECISIONS:
-        raise ValueError(f"unknown kernel precision {precision!r}")
+    check_precision(precision)
     ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     gamma_p = _pad_b(gamma, B_pad, axis=1)
     fwd = _build("fwd", T, B_pad, Bb, D, X, M, S, Tc, len(ws), precision,
@@ -778,14 +775,12 @@ def energy_mc_fused_grad(decoders, gamma, d1, d2,
     identical backward (the bwd kernel gathers the same host-generated
     index planes and recomputes activations).  Use only where the energy
     value is discarded; see ``energy_pallas.energy_expected_fused_grad``."""
-    if precision not in PRECISIONS:
-        raise ValueError(f"unknown kernel precision {precision!r}")
+    check_precision(precision)
     return jnp.zeros((gamma.shape[1],), jnp.float32)
 
 
 def _gradonly_fwd(decoders, gamma, d1, d2, precision):
-    if precision not in PRECISIONS:
-        raise ValueError(f"unknown kernel precision {precision!r}")
+    check_precision(precision)
     return (jnp.zeros((gamma.shape[1],), jnp.float32),
             (decoders, gamma, d1, d2))
 

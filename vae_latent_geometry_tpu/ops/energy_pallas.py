@@ -168,6 +168,13 @@ def _first_layer(g_planes, w1, b1, dtype):
 PRECISIONS = ("float32", "f32x3", "f32x2", "bfloat16")
 
 
+def check_precision(precision: str) -> None:
+    """Single implementation of the rung-name guard (custom_vjp needs it
+    in both the primal and the fwd rule of every wrapper)."""
+    if precision not in PRECISIONS:
+        raise ValueError(f"unknown kernel precision {precision!r}")
+
+
 def _split_hi_lo(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -386,7 +393,7 @@ def _bwd_kernel(*refs, T, B, D, X, M, Tc, n_layers, dtype):
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
-def _backprop_chain(dx, h1, acts, ws, wp_m, dtype, Tc, B, n_layers, dgs):
+def _backprop_chain(dx, h1, acts, wp_m, dtype, Tc, B, n_layers, dgs):
     """Backprop an (Tc, B, X) output cotangent through one decoder's tail
     layers and first layer, accumulating into the D per-plane dgamma
     accumulators ``dgs`` (in place on the Python list).  The cotangent chain
@@ -532,9 +539,9 @@ def _stats_bwd_kernel(*refs, D, X, M, n_layers, dtype):
         y = xf.reshape(Tc, B, X) - x0
         c = wmb[m, :][None, :, None] * (dyb + 2.0 * y * dsq3)
         c_sum = c_sum + c
-        _backprop_chain(c, h1, acts, ws, wp[m], dtype, Tc, B, n_layers, dgs)
+        _backprop_chain(c, h1, acts, wp[m], dtype, Tc, B, n_layers, dgs)
     # d x0: direct cotangent minus every y_j's -x0 dependency
-    _backprop_chain(dx0 - c_sum, h1_0, acts0, ws, wp[0], dtype, Tc, B,
+    _backprop_chain(dx0 - c_sum, h1_0, acts0, wp[0], dtype, Tc, B,
                     n_layers, dgs)
     for d in range(D):
         dg_refs[d][:] = dgs[d]
@@ -624,8 +631,7 @@ def ensemble_stats_fused(decoders, gamma, wmb, precision: str = "float32"):
 
 def _stats_fwd_impl(decoders, gamma, wmb, precision):
     T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _stats_dims(decoders, gamma)
-    if precision not in PRECISIONS:
-        raise ValueError(f"unknown kernel precision {precision!r}")
+    check_precision(precision)
     ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     gamma_p = _pad_b(gamma, B_pad, axis=1)
     wmb_p = _pad_b(jnp.asarray(wmb, jnp.float32), B_pad, axis=1)
@@ -953,8 +959,7 @@ def _resolve_wmb(wmb, M, B_pad, B):
 def _fwd_impl(decoders, gamma, wmb, precision):
     T, B, B_pad, Bb, D, X, M, Tc, ws, bs = _dims(decoders, gamma,
                                                  _TARGET_ROWS_FWD)
-    if precision not in PRECISIONS:
-        raise ValueError(f"unknown kernel precision {precision!r}")
+    check_precision(precision)
     ship = jnp.bfloat16 if precision == "bfloat16" else jnp.float32
     gamma_p = _pad_b(gamma, B_pad, axis=1)
     wmb_p = _resolve_wmb(wmb, M, B_pad, B)
@@ -997,14 +1002,12 @@ _energy_expected_fused_vjp.defvjp(_fwd_rule, _bwd_rule)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _energy_expected_fused_gradonly(decoders, gamma, wmb, precision: str):
-    if precision not in PRECISIONS:
-        raise ValueError(f"unknown kernel precision {precision!r}")
+    check_precision(precision)
     return jnp.zeros((gamma.shape[1],), jnp.float32)
 
 
 def _gradonly_fwd(decoders, gamma, wmb, precision):
-    if precision not in PRECISIONS:
-        raise ValueError(f"unknown kernel precision {precision!r}")
+    check_precision(precision)
     return (jnp.zeros((gamma.shape[1],), jnp.float32),
             (decoders, gamma, wmb))
 
