@@ -205,6 +205,15 @@ def test_shape_guard_falls_back(rng):
     assert not fused_fits(2000, 200, 2, 256, 10)   # X too wide for chunks
     assert not fused_fits(2000, 200, 2, 50, 32)    # ensemble too large
     assert not fused_fits(1999, 200, 2, 50, 10)    # prime T: no aligned chunk
+    # the single-decode backward keeps per-decoder center outputs + ReLU
+    # masks live across the decoder loop, so the VMEM screen is M-scaled:
+    # the M=16 cap fits at the gridded/production widths but NOT at the
+    # single-block B=256 edge (the boundary approvals below are
+    # hardware-validated to compile and run — _FITS_BUDGET's calibration)
+    assert fused_fits(2000, 200, 2, 50, 16, mc=False)
+    assert fused_fits(2000, 200, 2, 50, 16, mc=True)
+    assert fused_fits(2000, 256, 2, 50, 10, mc=False)
+    assert not fused_fits(2000, 256, 2, 50, 16, mc=False)
     # the optimizer still works (falls back silently) on unlayoutable shapes
     from vae_latent_geometry_tpu.config import EnergyConfig, GeodesicConfig
     from vae_latent_geometry_tpu.geometry.basis import nullspace_basis

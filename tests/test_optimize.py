@@ -731,6 +731,40 @@ def test_resume_refuses_checkpoint_from_different_inputs(toy_problem,
                                   np.asarray(fresh.geodesic_length))
 
 
+def test_resume_stamp_ignores_result_neutral_fields(toy_problem, tmp_path,
+                                                    capsys):
+    """A checkpoint must stay resumable across flags that provably cannot
+    change any produced value (gradonly_traj: bit-identical both ways,
+    test below) — refusing it would discard every finished chunk of a
+    long run over a how-not-what flag, and would orphan checkpoints
+    written before the flag existed."""
+    import dataclasses as dc
+
+    from vae_latent_geometry_tpu.pipeline.optimize_stage import (
+        _recipe_stamp,
+        optimize_spline_batch,
+    )
+
+    dec, *_ = toy_problem
+    art = _toy_artifact(toy_problem)
+    cfg_on = _small_cfg(steps=25, energy={"mode": "single", "num_t": 64})
+    cfg_off = dc.replace(cfg_on, energy=dc.replace(cfg_on.energy,
+                                                   gradonly_traj=False))
+    assert _recipe_stamp(cfg_on) == _recipe_stamp(cfg_off)
+    assert "gradonly_traj" not in _recipe_stamp(cfg_on)
+
+    ckpt = str(tmp_path / "resume.npz")
+    res1 = optimize_spline_batch(dec, art, cfg=cfg_on, checkpoint_path=ckpt,
+                                 log_every_chunk=False)
+    capsys.readouterr()
+    res2 = optimize_spline_batch(dec, art, cfg=cfg_off, checkpoint_path=ckpt,
+                                 log_every_chunk=True)
+    err = capsys.readouterr().err
+    assert "different config" not in err and "cannot be validated" not in err
+    np.testing.assert_array_equal(np.asarray(res1.geodesic_length),
+                                  np.asarray(res2.geodesic_length))
+
+
 def test_gradonly_traj_identical_trajectory(toy_problem, rng):
     """The grad-only trajectory path (skip the fused fwd kernel on steps
     whose energy value is discarded) must produce the SAME optimization as

@@ -794,6 +794,18 @@ def _is_tpu() -> bool:
         return False
 
 
+# Per-block VMEM screen for fused_fits, sized against the 100 MB kernel
+# limit (_VMEM_LIMIT).  The backward pass dominates, and since the
+# single-decode restructure it keeps per-decoder center outputs (f32) and
+# hidden-layer ReLU masks (bf16) live across the whole decoder loop, so
+# the estimate below is M-scaled; the budget's margin absorbs what the
+# byte model doesn't count (Mosaic temporaries, tiling slack).  The
+# boundary shapes this budget approves (M=16 at B=200, the single-block
+# M=10 B=256 edge) are hardware-validated to compile and run; see
+# tests/test_energy_pallas.py::test_shape_guard_falls_back.
+_FITS_BUDGET = 72 * 1024 * 1024
+
+
 def fused_fits(T, B, D, X, M, mc: bool = False, mc_samples: int = 2) -> bool:
     """Whether the fused kernels can run these shapes.
 
@@ -803,7 +815,9 @@ def fused_fits(T, B, D, X, M, mc: bool = False, mc_samples: int = 2) -> bool:
     - X <= 128 and M <= 16 keep the chunk working set in VMEM,
     - T must have a divisor Tc with Tc % 8 == 0 and Tc >= 16 (Mosaic sublane
       alignment for dynamic slice starts and offset value-slices),
-    - the per-block VMEM estimate (lane-padded) stays under ~48 MB.
+    - the per-block VMEM estimate (lane-padded, M-scaled for the
+      single-decode backward's per-decoder liveness) stays under
+      ``_FITS_BUDGET``.
     """
     if D > 2 or X > 128 or M > 16:
         return False
@@ -818,15 +832,28 @@ def fused_fits(T, B, D, X, M, mc: bool = False, mc_samples: int = 2) -> bool:
     lanes_x = _round_up(X, 128)
     plane_bytes = (T + 8) * Bb * 4
     chunk_plane = (Tc + 8) * Bb * lanes_x * 4
+    chunk_rows = Tc * Bb
+    # bf16 masks the backward keeps per decoder: one per hidden layer
+    # (the production decoder is 2-hidden Linear(2,128)ReLU
+    # Linear(128,128)ReLU Linear(128,X); models/nets.py)
+    mask_bytes = 2 * chunk_rows * 128 * 2
     if mc:
-        # curve planes + 2S index planes + S selected/diff scratch planes
+        # curve planes + 2S index planes + S diff scratch planes
         per_block = (D + 2 * mc_samples) * plane_bytes \
             + mc_samples * chunk_plane
+        # pass-1 index broadcasts + selected-endpoint accumulators
+        # (dd1_3/dd2_3 + x1s/x2s: 4 chunk planes per sample)
+        per_block += 4 * mc_samples * chunk_plane
+        # per-decoder ReLU masks live across both decoder loops
+        per_block += M * mask_bytes
     else:
         per_block = D * plane_bytes + chunk_plane
+        # per-decoder center-row outputs (f32) + ReLU masks live across
+        # both decoder loops of the single-decode backward
+        per_block += M * (chunk_rows * lanes_x * 4 + mask_bytes)
     # intermediates of the unrolled MLP chunk (rows x widest hidden)
-    per_block += 6 * Tc * Bb * 128 * 4
-    return per_block <= 48 * 1024 * 1024
+    per_block += 6 * chunk_rows * 128 * 4
+    return per_block <= _FITS_BUDGET
 
 
 def _round_up(n: int, m: int) -> int:

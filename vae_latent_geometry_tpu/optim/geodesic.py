@@ -175,14 +175,6 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
             _warn_fallback(mode, T, B, D, X, m_dec)
             return energy_lib.energy_expected(decoders, gamma, num_active)
         precision = "bfloat16" if mode.endswith("bf16") else kernel_precision
-        if grad_only:
-            from vae_latent_geometry_tpu.ops.energy_pallas import (
-                energy_expected_fused_grad,
-            )
-
-            wmb = (active_weights(num_active, m_dec, B)
-                   if num_active is not None else None)
-            return energy_expected_fused_grad(decoders, gamma, wmb, precision)
         # NOTE a transposed-layout variant (features on sublanes, points on
         # lanes; ops/_research/energy_pallas_t.py) removes the X=50->128
         # lane-padding
@@ -194,6 +186,12 @@ def _energy_fn(mode: str, decoders, gamma, gamma_dot, key, mc_samples: int,
         # masked-mean weight plane streamed into the kernel
         wmb = (active_weights(num_active, m_dec, B)
                if num_active is not None else None)
+        if grad_only:
+            from vae_latent_geometry_tpu.ops.energy_pallas import (
+                energy_expected_fused_grad,
+            )
+
+            return energy_expected_fused_grad(decoders, gamma, wmb, precision)
         return energy_expected_fused(decoders, gamma, wmb, precision)
     if mode == "jvp":
         return energy_lib.energy_jvp(decoders, gamma, gamma_dot)

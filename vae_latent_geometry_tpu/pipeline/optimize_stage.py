@@ -36,6 +36,23 @@ from vae_latent_geometry_tpu.optim.geodesic import (
 )
 
 
+# GeodesicConfig fields that provably cannot change any produced value
+# (regression-tested bit-identical both ways).  They are excluded from the
+# checkpoint recipe stamp: a stamp mismatch discards every finished chunk
+# of a long run, which must never happen for a flag that only changes HOW
+# the same numbers are computed — and excluding them also keeps
+# checkpoints written before such a flag existed resumable.
+_RESULT_NEUTRAL = {"energy": {"gradonly_traj"}}
+
+
+def _recipe_stamp(cfg: GeodesicConfig) -> str:
+    d = dataclasses.asdict(cfg)
+    for section, keys in _RESULT_NEUTRAL.items():
+        for k in keys:
+            d.get(section, {}).pop(k, None)
+    return json.dumps(d, sort_keys=True, default=str)
+
+
 class _AsyncCheckpointer:
     """Latest-wins background checkpoint writer.
 
@@ -164,8 +181,7 @@ def optimize_spline_batch(
                  "num_t": cfg.energy.num_t,
                  "mc_samples": cfg.energy.mc_samples,
                  "inputs_digest": h.hexdigest(),
-                 "recipe": json.dumps(dataclasses.asdict(cfg),
-                                      sort_keys=True, default=str)}
+                 "recipe": _recipe_stamp(cfg)}
 
     # Policy note (deliberate asymmetry with pipeline/train._check_resume_
     # stamp, which RAISES on a foreign stamp): a training checkpoint is the
