@@ -403,21 +403,29 @@ def stage_train():
     from vae_latent_geometry_tpu.pipeline.train import train_evae
 
     data = load_tasic()
+    # two invocations: the first carries the process's compile/cache-load
+    # state, the second is in-process steady state (same convention as
+    # stage_dp_slice / stage_train_multiseed)
+    t0 = time.perf_counter()
+    train_evae(data.x, TrainConfig(epochs=600, seed=42), log_every=0)
+    first = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = train_evae(data.x, TrainConfig(epochs=600, seed=42), log_every=0)
-    wall = time.perf_counter() - t0
+    steady = time.perf_counter() - t0
     _write("train_timing.json", {
         "workload": "EVAE 600 epochs, bs 64, 10 decoders, 23822x50 "
                     "surrogate, single v5e",
-        "wall_clock_seconds": round(wall, 1),
+        "wall_clock_seconds": round(steady, 1),
+        "first_invocation_seconds": round(first, 1),
         "final_val_loss": float(np.asarray(out.val_losses)[-1]),
         "note": "numerics-correct rerun; package-global highest matmul "
                 "precision applies to training too (docs/NUMERICS.md). "
-                "Wall clock includes block compiles, so it depends on the "
-                "persistent jit-cache state: ~39.5 s cold, ~18 s with the "
-                "block program cached",
+                "wall_clock_seconds is the in-process steady state; the "
+                "first invocation pays block compiles or persistent-cache "
+                "executable loads depending on process state",
     })
-    print(f"[train] 600 epochs in {wall:.1f}s", flush=True)
+    print(f"[train] 600 epochs in {steady:.1f}s steady "
+          f"(first {first:.1f}s)", flush=True)
 
 
 def stage_train_multiseed():
@@ -435,15 +443,24 @@ def stage_train_multiseed():
     data = load_tasic()
     cfg = TrainConfig(epochs=600, batch_size=64)
 
-    # serial reference point: one seed, same session (x6 for the workload)
-    t0 = time.perf_counter()
-    single = train_evae(data.x, TrainConfig(epochs=600, seed=seeds[0]),
-                        log_every=0)
-    serial_one = time.perf_counter() - t0
+    # Both arms run TWICE: the first invocation carries whatever compile /
+    # executable-load state the process happens to be in (an earlier run
+    # of this stage recorded a hot in-process serial arm against a
+    # cache-loading vmapped arm and got a meaningless ratio), the second
+    # is steady state.  The ratio is steady-vs-steady.
+    def timed(fn):
+        t0 = time.perf_counter()
+        r = fn()
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = fn()
+        return r, first, time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    multi = train_evae_multiseed(data.x, seeds, cfg, log_every=0)
-    wall = time.perf_counter() - t0
+    single, s_first, s_steady = timed(
+        lambda: train_evae(data.x, TrainConfig(epochs=600, seed=seeds[0]),
+                           log_every=0))
+    multi, m_first, m_steady = timed(
+        lambda: train_evae_multiseed(data.x, seeds, cfg, log_every=0))
 
     # the vmapped run must reproduce the serial trajectory (same chip, same
     # program modulo the vmap batch axis) — final val losses should agree
@@ -454,10 +471,12 @@ def stage_train_multiseed():
         "workload": "6 independent EVAE seed models (12..456), 600 epochs "
                     "each, bs 64, 10 decoders, 23822x50 surrogate, ONE "
                     "vmapped XLA program, single v5e",
-        "wall_clock_seconds": round(wall, 1),
-        "serial_one_seed_seconds": round(serial_one, 1),
-        "serial_six_seed_estimate_seconds": round(6 * serial_one, 1),
-        "speedup_vs_serial": round(6 * serial_one / wall, 2),
+        "wall_clock_seconds": round(m_steady, 1),
+        "first_invocation_seconds": round(m_first, 1),
+        "serial_one_seed_seconds": round(s_steady, 1),
+        "serial_one_seed_first_invocation_seconds": round(s_first, 1),
+        "serial_six_seed_estimate_seconds": round(6 * s_steady, 1),
+        "speedup_vs_serial_steady": round(6 * s_steady / m_steady, 2),
         "final_val_losses": {str(s): float(np.asarray(r.val_losses)[-1])
                              for s, r in multi.items()},
         "seed12_val_serial_vs_vmapped": [v_serial, v_multi],
@@ -466,15 +485,16 @@ def stage_train_multiseed():
                 "(tests/test_train.py::test_multiseed_training_matches_"
                 "serial_runs); on TPU the batched matmul tilings may "
                 "reassociate sums, so the cross-check here is final-loss "
-                "agreement.  Speedup is sub-linear in S (3x, not 6x) "
-                "because only the MLP matmuls gain arithmetic intensity "
-                "from the seed axis; the per-epoch shuffle gather, "
-                "LayerNorm/VPU work and optimizer update scale linearly "
-                "with S at bs=64 per seed",
+                "agreement.  Steady-state ratio is in-process warm on BOTH "
+                "arms; against the reference's actual workflow (six fresh "
+                "`python -m src.train` processes, each paying startup + "
+                "compile/executable loads) the one-program path "
+                "additionally saves five process bring-ups — use the "
+                "first-invocation numbers for that comparison",
     })
-    print(f"[train-multiseed] 6 seeds in {wall:.1f}s "
-          f"(serial est {6 * serial_one:.1f}s, "
-          f"{6 * serial_one / wall:.2f}x)", flush=True)
+    print(f"[train-multiseed] 6 seeds in {m_steady:.1f}s steady "
+          f"(first {m_first:.1f}s; serial est {6 * s_steady:.1f}s, "
+          f"{6 * s_steady / m_steady:.2f}x)", flush=True)
 
 
 def _run_full133_two_phase(tag, steps, traj_num_t, polish_steps, note,
