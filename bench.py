@@ -455,6 +455,12 @@ def main():
             ("mc_fused_extidx", "mc_fused", "f32x3", False),
             ("expected_fused", "expected_fused", "f32x3", True),
             ("expected_fused_f32x2", "expected_fused", "f32x2", True),
+            # the bf16 rungs steer the turbo COARSE phase only
+            # (--coarse-bf16; at T=2000, where this ladder measures, bf16
+            # is numerically unusable for reported energies — the rung is
+            # here for the throughput/MFU record)
+            ("expected_fused_bfloat16", "expected_fused", "bfloat16", True),
+            ("mc_fused_bfloat16", "mc_fused", "bfloat16", True),
             ("mc_fused_float32", "mc_fused", "float32", True),
             ("mc_float32", "mc", "float32", True)):
         try:

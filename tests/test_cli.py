@@ -212,6 +212,51 @@ def test_turbo_flag_wires_phase_plan_through_cmd_optimize(workdir,
     assert np.isfinite(art.geodesic_length[art.valid]).all()
 
 
+def test_coarse_bf16_flag_wires_through_cmd_optimize(workdir, monkeypatch):
+    """`optimize --turbo --coarse-bf16` must swap the coarse phase's energy
+    mode to the fused bf16 rung (measured full-scale rung,
+    experiment/full133_bf16coarse_timing.json) while the polish phase and
+    the exact final re-evaluation keep their modes; verified via the
+    recipe stamp.  Without --turbo, or with a mode lacking a bf16 rung,
+    the flag must refuse loudly."""
+    from vae_latent_geometry_tpu import cli as cli_mod
+    from vae_latent_geometry_tpu.io.artifacts import load_spline_batch
+
+    _ensure_trained(workdir)
+    dd = str(workdir / "data")
+    if not (workdir / "experiment" / "splines_init_model_seed5" /
+            "spline_batch_init_euclidean_4.npz").exists():
+        main(["init-splines", "--data-dir", dd,
+              "--model", "experiment/model_seed5.npz",
+              "--pairfile", "experiment/pairs/selected_pairs_4.json",
+              "--grid", "30"])
+    tiny = ((7, 16, "cosine", 3e-3), (3, 32, "constant", 1e-3))
+    monkeypatch.setattr(cli_mod, "TURBO_PHASES", tiny)
+    out = workdir / "bf16coarse_out.npz"
+    main(["optimize", "--data-dir", dd,
+          "--model", "experiment/model_seed5.npz",
+          "--init-type", "euclidean", "--pair-count", "4",
+          "--batch-size", "4", "--num-t", "32",
+          "--energy-mode", "expected",
+          "--turbo", "--coarse-bf16", "--output", str(out)])
+    art = load_spline_batch(str(out))
+    assert ('"phase_plan": [[7, 16, "cosine", 0.003, '
+            '"expected_fused_bf16"]' in art.metadata["recipe"])
+    assert np.isfinite(art.geodesic_length[art.valid]).all()
+
+    with pytest.raises(SystemExit, match="requires --turbo"):
+        main(["optimize", "--data-dir", dd,
+              "--model", "experiment/model_seed5.npz",
+              "--init-type", "euclidean", "--pair-count", "4",
+              "--coarse-bf16", "--output", str(out)])
+    with pytest.raises(SystemExit, match="bf16 rung"):
+        main(["optimize", "--data-dir", dd,
+              "--model", "experiment/model_seed5.npz",
+              "--init-type", "euclidean", "--pair-count", "4",
+              "--energy-mode", "single",
+              "--turbo", "--coarse-bf16", "--output", str(out)])
+
+
 def test_optimize_kernel_precision_flag_wires_through(workdir):
     """`optimize --kernel-precision` must reach EnergyConfig (trajectory
     rung selection): the default is the f32x2 bulk rung every committed

@@ -338,12 +338,29 @@ def cmd_optimize(args):
         if dp_eff > 1:
             print(f"[info] --batch-size not given: scaled to "
                   f"{args.batch_size} (200 per dp device)")
+    phase_plan = TURBO_PHASES if args.turbo else None
+    if getattr(args, "coarse_bf16", False):
+        if phase_plan is None:
+            raise SystemExit("--coarse-bf16 requires --turbo (it modifies "
+                             "the turbo plan's coarse phase)")
+        # same estimator, fused bf16 kernel for the coarse phase only
+        coarse_mode = {"mc": "mc_fused_bf16", "mc_fused": "mc_fused_bf16",
+                       "expected": "expected_fused_bf16",
+                       "expected_fused": "expected_fused_bf16"}.get(
+                           args.energy_mode)
+        if coarse_mode is None:
+            raise SystemExit(
+                f"--coarse-bf16 needs an energy mode with a fused bf16 "
+                f"rung (mc/mc_fused/expected/expected_fused), got "
+                f"{args.energy_mode!r}")
+        first, *rest = phase_plan
+        phase_plan = ((*first[:4], coarse_mode), *rest)
     cfg = GeodesicConfig(
         steps=args.steps, lr=args.lr, batch_size=args.batch_size,
         lr_schedule=args.lr_schedule, early_stop=args.early_stop,
         traj_num_t=args.traj_num_t, polish_steps=args.polish_steps,
         polish_lr=args.polish_lr,
-        phase_plan=TURBO_PHASES if args.turbo else None,
+        phase_plan=phase_plan,
         energy=EnergyConfig(num_t=args.num_t, mc_samples=args.mc_samples,
                             mode=args.energy_mode,
                             kernel_precision=args.kernel_precision),
@@ -689,6 +706,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "final energies on 99.2%% of pairs "
                         "(experiment/full133_turbo_timing.json); overrides "
                         "steps/lr/schedule/traj-num-t/polish flags")
+    o.add_argument("--coarse-bf16", action="store_true",
+                   help="run the turbo plan's COARSE phase at bfloat16 "
+                        "(requires --turbo and a fused energy mode): "
+                        "measured at full scale, expected mode optimizes "
+                        "in 74 s steady vs turbo's 84 s at 99.1%% strictly "
+                        "better vs the reference recipe (turbo: 99.3%%, "
+                        "same tail; full133_bf16coarse_timing.json); the "
+                        "MC mode saves 19%% with dominance within draw "
+                        "noise of its turbo.  Safe ONLY for the coarse "
+                        "phase: at T=256 the adjacent-sample gaps exceed "
+                        "bf16 rounding, and polish + final eval stay "
+                        "f32x2/exact-f32 (docs/NUMERICS.md)")
     o.add_argument("--lr", type=float, default=None, help="(default 1e-3)")
     o.add_argument("--batch-size", type=int, default=None,
                    help="pairs per optimization chunk (default 200 per "
