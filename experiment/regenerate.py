@@ -810,6 +810,13 @@ def stage_dp_slice():
         phase_plan=TURBO_PHASES,
         energy=EnergyConfig(num_t=2000, mode="expected_fused",
                             kernel_precision=BULK_PREC))
+    # --turbo --coarse-bf16 (the measured next rung, full133_bf16coarse)
+    first_phase, *rest_phases = TURBO_PHASES
+    bf16_cfg = GeodesicConfig(
+        steps=1200, lr=3e-3, lr_schedule="cosine", batch_size=200,
+        phase_plan=((*first_phase[:4], "expected_fused_bf16"), *rest_phases),
+        energy=EnergyConfig(num_t=2000, mode="expected_fused",
+                            kernel_precision=BULK_PREC))
     fixed_cfg = GeodesicConfig(
         steps=1000, batch_size=200,
         energy=EnergyConfig(num_t=2000, mode="expected_fused",
@@ -832,6 +839,7 @@ def stage_dp_slice():
     # compile time into the cross-config comparison.
     for tag, cfg in (
             ("turbo_expected_f32x2", turbo_cfg),
+            ("turbo_coarse_bf16", bf16_cfg),
             ("reference_fixed_1000step", fixed_cfg),
             ("mc_turbo_f32x2", mc_turbo_cfg),
             ("mc_reference_fixed_f32x3", mc_fixed_cfg)):
@@ -874,6 +882,7 @@ def stage_dp_slice():
             "reference_fixed_1000step":
                 projected("reference_fixed_1000step"),
             "turbo_expected_f32x2": projected("turbo_expected_f32x2"),
+            "turbo_coarse_bf16": projected("turbo_coarse_bf16"),
             "mc_reference_fixed_f32x3":
                 projected("mc_reference_fixed_f32x3"),
             "mc_turbo_f32x2": projected("mc_turbo_f32x2"),
